@@ -1,0 +1,208 @@
+"""Pack host mesh-graph samples into static-shape padded GraphBatches.
+
+Replaces the PyG DataLoader disjoint-union batching (`gnn_train.py:387-394`)
+with bucketed padding: capacities are rounded up to hardware-friendly
+multiples so XLA compiles one program per bucket, and padding waste stays
+bounded. Padding must never perturb model statistics — every op downstream
+is mask-aware (SURVEY.md §7.10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from p_div_gnn_tpu.graphs.build import MeshGraph
+from p_div_gnn_tpu.graphs.container import GraphBatch
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One mesh sample on the host (reference dataset row, C6)."""
+
+    graph: MeshGraph
+    mean_stress: np.ndarray  # (3,)
+    local_stress: np.ndarray  # (N, 3)
+    node_labels: np.ndarray  # (N,) int in {-1, 0, 1}
+    div_data: np.ndarray  # (nnz,) f32
+    div_row: np.ndarray  # (nnz,) int
+    div_col: np.ndarray  # (nnz,) int, in [0, 2N) component-major
+    von_mises: float = 0.0
+    mesh_id: int = -1
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self.graph.num_edges
+
+    @property
+    def num_div_entries(self) -> int:
+        return int(self.div_data.shape[0])
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket(x: int, m: int, buckets: tuple[int, ...] | None) -> int:
+    x = _round_up(x, m)
+    if buckets:
+        for b in buckets:
+            if x <= b:
+                return b
+    return x
+
+
+def pack_batch(
+    samples: list[GraphSample],
+    n_graphs: int | None = None,
+    pad_nodes: int | None = None,
+    pad_edges: int | None = None,
+    pad_div: int | None = None,
+    tile: int = 128,
+    node_buckets: tuple[int, ...] | None = None,
+    edge_buckets: tuple[int, ...] | None = None,
+) -> GraphBatch:
+    """Concatenate samples into one padded batch (host-side, numpy).
+
+    Node layout: graphs contiguous in input order, then padding. Edges are
+    globally sorted by receiver (graphs stay contiguous because receivers
+    live in per-graph node ranges); padding edges self-loop on the final
+    padding node so scatters into real nodes are never polluted.
+    """
+    G = n_graphs if n_graphs is not None else len(samples)
+    assert len(samples) <= G
+    tot_nodes = sum(s.num_nodes for s in samples)
+    tot_edges = sum(s.num_edges for s in samples)
+    tot_div = sum(s.num_div_entries for s in samples)
+
+    Np = pad_nodes if pad_nodes is not None else _bucket(
+        tot_nodes + 1, tile, node_buckets
+    )
+    Ep = pad_edges if pad_edges is not None else _bucket(
+        max(tot_edges, 1), 512, edge_buckets
+    )
+    Kp = pad_div if pad_div is not None else _bucket(max(tot_div, 1), 512, None)
+    assert Np > tot_nodes, "need at least one padding node"
+    assert Ep >= tot_edges and Kp >= tot_div
+
+    pos = np.zeros((Np, 2), np.float32)
+    mean_stress = np.zeros((Np, 3), np.float32)
+    node_type = np.zeros((Np, 1), np.float32)
+    local_stress = np.zeros((Np, 3), np.float32)
+    node_gid = np.full(Np, G, np.int32)
+
+    senders = np.full(Ep, Np - 1, np.int32)
+    receivers = np.full(Ep, Np - 1, np.int32)
+    edge_weight = np.zeros((Ep, 1), np.float32)
+    edge_gid = np.full(Ep, G, np.int32)
+
+    div_data = np.zeros(Kp, np.float32)
+    div_row = np.full(Kp, Np - 1, np.int32)
+    div_col_node = np.full(Kp, Np - 1, np.int32)
+    div_col_is_y = np.zeros(Kp, np.int32)
+
+    graph_node_count = np.zeros(G, np.int32)
+    graph_node_offset = np.zeros(G, np.int32)
+
+    n_off = e_off = k_off = 0
+    for g, s in enumerate(samples):
+        n, e, k = s.num_nodes, s.num_edges, s.num_div_entries
+        pos[n_off : n_off + n] = np.asarray(s.graph.pos[:, :2], np.float32)
+        mean_stress[n_off : n_off + n] = np.asarray(s.mean_stress, np.float32)
+        node_type[n_off : n_off + n, 0] = np.asarray(s.node_labels, np.float32)
+        local_stress[n_off : n_off + n] = np.asarray(s.local_stress, np.float32)
+        node_gid[n_off : n_off + n] = g
+
+        senders[e_off : e_off + e] = s.graph.edge_index[0] + n_off
+        receivers[e_off : e_off + e] = s.graph.edge_index[1] + n_off
+        edge_weight[e_off : e_off + e, 0] = s.graph.edge_weight
+        edge_gid[e_off : e_off + e] = g
+
+        # Divergence COO: column c in [0, 2N) → (node c % N, component c // N)
+        # — component-major dof layout, matching the stacked stress vector
+        # built in the reference loss (`gnn_train.py:68-70`). Entries with
+        # col >= 2N (virtual strain nodes) are dropped by the loader.
+        cols = np.asarray(s.div_col, np.int64)
+        keep = cols < 2 * n
+        div_data[k_off : k_off + keep.sum()] = np.asarray(s.div_data, np.float32)[
+            keep
+        ]
+        div_row[k_off : k_off + keep.sum()] = (
+            np.asarray(s.div_row, np.int64)[keep] + n_off
+        )
+        div_col_node[k_off : k_off + keep.sum()] = (cols[keep] % n) + n_off
+        div_col_is_y[k_off : k_off + keep.sum()] = (cols[keep] // n).astype(
+            np.int32
+        )
+        graph_node_count[g] = n
+        graph_node_offset[g] = n_off
+        n_off += n
+        e_off += e
+        k_off += int(keep.sum())
+
+    # CSR-sort edges by receiver (stable keeps canonical (s,r) order within
+    # a receiver). Padding edges (receiver Np-1) sort to the end.
+    order = np.argsort(receivers, kind="stable")
+    senders, receivers = senders[order], receivers[order]
+    edge_weight, edge_gid = edge_weight[order], edge_gid[order]
+
+    n_tiles = Np // tile if Np % tile == 0 else Np // tile + 1
+    tile_ptr = np.searchsorted(
+        receivers, np.arange(0, (n_tiles + 1) * tile, tile)
+    ).astype(np.int32)[: n_tiles + 1]
+
+    return GraphBatch(
+        pos=pos,
+        mean_stress=mean_stress,
+        node_type=node_type,
+        local_stress=local_stress,
+        node_gid=node_gid,
+        senders=senders,
+        receivers=receivers,
+        edge_weight=edge_weight,
+        edge_gid=edge_gid,
+        tile_ptr=tile_ptr,
+        div_data=div_data,
+        div_row=div_row,
+        div_col_node=div_col_node,
+        div_col_is_y=div_col_is_y,
+        graph_node_count=graph_node_count,
+        graph_node_offset=graph_node_offset,
+        n_graphs=G,
+        tile=tile,
+    )
+
+
+def unpack_predictions(
+    batch: GraphBatch, prediction: np.ndarray
+) -> list[np.ndarray]:
+    """Slice a (Np, C) node prediction back into per-graph arrays —
+    the static-shape twin of `slice_batch_predictions`
+    (`data_utils.py:36-43`)."""
+    out = []
+    counts = np.asarray(batch.graph_node_count)
+    offsets = np.asarray(batch.graph_node_offset)
+    for g in range(batch.n_graphs):
+        n = int(counts[g])
+        if n == 0:
+            continue
+        off = int(offsets[g])
+        out.append(np.asarray(prediction[off : off + n]))
+    return out
+
+
+def default_node_buckets(max_nodes: int = 1 << 17) -> tuple[int, ...]:
+    """Geometric bucket ladder — bounds recompiles to ~2 per octave while
+    wasting <~30% padding."""
+    buckets = []
+    b = 1024
+    while b <= max_nodes:
+        buckets.append(b)
+        buckets.append(b + b // 2)
+        b *= 2
+    return tuple(buckets)

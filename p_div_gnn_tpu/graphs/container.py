@@ -1,0 +1,125 @@
+"""Static-shape padded graph batch — the device-facing data structure.
+
+The reference batches graphs as PyG disjoint unions with a dynamic `batch`
+index vector (`gnn_train.py:387-394`) and slices them back in Python loops
+(`data_utils.py:25-43`). On TPU everything under jit must be static-shape,
+so the TPU-native design packs a list of mesh graphs into fixed-capacity
+arrays with masks and segment ids:
+
+- nodes of graph g occupy a contiguous range; padding nodes carry
+  ``node_gid == n_graphs`` (an extra, always-empty segment);
+- edges are sorted by receiver (CSR order) so the Pallas scatter kernel can
+  process per-node-tile contiguous edge ranges; padding edges self-loop on
+  the last (padding) node;
+- the per-mesh FEM divergence operator is a padded COO whose column index is
+  pre-split into (node, is_y_component) so the penalty is two gathers + a
+  segment-sum — never densified (unlike `gnn_train.py:73-76`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+Array = Any  # np.ndarray on host, jnp.ndarray on device
+
+
+class GraphBatch(flax.struct.PyTreeNode):
+    # --- nodes (capacity Np; graphs contiguous; >=1 trailing padding node)
+    pos: Array  # (Np, 2) f32
+    mean_stress: Array  # (Np, 3) f32  (macroscopic stress broadcast per node)
+    node_type: Array  # (Np, 1) f32  in {-1, 0, 1}
+    local_stress: Array  # (Np, 3) f32  (target field; zeros at inference)
+    node_gid: Array  # (Np,) i32  graph id; == n_graphs for padding
+
+    # --- edges (capacity Ep; sorted by receiver; padding self-loops on Np-1)
+    senders: Array  # (Ep,) i32
+    receivers: Array  # (Ep,) i32
+    edge_weight: Array  # (Ep, 1) f32  (0 on periodic + padding edges)
+    edge_gid: Array  # (Ep,) i32  == n_graphs for padding
+    tile_ptr: Array  # (Np // tile + 1,) i32  CSR offsets per node tile
+
+    # --- divergence operator, padded COO (capacity Kp)
+    div_data: Array  # (Kp,) f32  (0 for padding entries)
+    div_row: Array  # (Kp,) i32  global padded node index (padding → Np-1)
+    div_col_node: Array  # (Kp,) i32  global padded node index of source dof
+    div_col_is_y: Array  # (Kp,) i32  0 → x-dof (σxx/σxy), 1 → y-dof
+
+    # --- per-graph metadata (capacity G = n_graphs)
+    graph_node_count: Array  # (G,) i32  (0 for padding graphs)
+    graph_node_offset: Array  # (G,) i32
+
+    # --- static
+    n_graphs: int = flax.struct.field(pytree_node=False, default=1)
+    tile: int = flax.struct.field(pytree_node=False, default=128)
+
+    # Derived masks -------------------------------------------------------
+    @property
+    def node_mask(self) -> Array:
+        return self.node_gid < self.n_graphs
+
+    @property
+    def edge_mask(self) -> Array:
+        return self.edge_gid < self.n_graphs
+
+    @property
+    def graph_mask(self) -> Array:
+        return self.graph_node_count > 0
+
+    @property
+    def n_real_graphs(self) -> Array:
+        return jnp.sum(self.graph_mask.astype(jnp.int32))
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return int(self.pos.shape[0])
+
+    @property
+    def num_edges_padded(self) -> int:
+        return int(self.senders.shape[0])
+
+
+class NormStats(flax.struct.PyTreeNode):
+    """The 8 scalar normalization statistics the reference model carries as
+    attributes and checkpoints (`models.py:98-179,44-63`)."""
+
+    mean_pos: Array
+    std_pos: Array
+    mean_mean_stress: Array
+    std_mean_stress: Array
+    mean_local_stress: Array
+    std_local_stress: Array
+    mean_edge_weight: Array
+    std_edge_weight: Array
+
+    @classmethod
+    def ones(cls) -> "NormStats":
+        return cls(*(jnp.float32(v) for v in (0, 1, 0, 1, 0, 1, 0, 1)))
+
+    def to_dict(self) -> dict[str, float]:
+        return {k: float(getattr(self, k)) for k in self.__dataclass_fields__}
+
+    @classmethod
+    def from_dict(cls, d: dict[str, float]) -> "NormStats":
+        return cls(
+            **{k: jnp.float32(d[k]) for k in cls.__dataclass_fields__}
+        )
+
+
+def batch_shape_key(batch: GraphBatch) -> tuple[int, int, int, int]:
+    """Compile-cache key: one XLA program per distinct padded shape."""
+    return (
+        batch.num_nodes_padded,
+        batch.num_edges_padded,
+        int(batch.div_data.shape[0]),
+        batch.n_graphs,
+    )
+
+
+def to_numpy(batch: GraphBatch) -> GraphBatch:
+    import jax
+
+    return jax.tree.map(np.asarray, batch)

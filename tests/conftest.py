@@ -1,0 +1,17 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+
+The TPU build is validated for multi-chip semantics on a host-platform mesh
+(`--xla_force_host_platform_device_count=8`), the TPU-world equivalent of a
+fake backend (SURVEY.md §4). Real-chip benchmarks run via bench.py instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep compilation deterministic and fast on CPU.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
