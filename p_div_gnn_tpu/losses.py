@@ -1,0 +1,123 @@
+"""Fused, segment-reduction losses: per-graph NMSE + divergence penalty.
+
+Behavioral twins of the reference's per-graph Python-loop losses
+(`/root/reference/scripts/gnn_train.py:41-57` NMSE, `:60-92` divergence),
+re-designed for TPU: every per-graph quantity is a segment reduction keyed
+by graph id over the padded batch — no Python loop, no sparse→dense
+densification (the reference's second hot spot, `gnn_train.py:73-76`), one
+fused jit region.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from p_div_gnn_tpu.graphs.container import GraphBatch
+from p_div_gnn_tpu.ops.segment import segment_sum
+
+
+def per_graph_nmse(
+    batch: GraphBatch, prediction: jax.Array, ground_truth: jax.Array
+) -> jax.Array:
+    """Per-graph normalized MSE, shape (G,).
+
+    Reference math (`gnn_train.py:41-57`): for each graph and stress
+    component c, ``Σ_n (gt - pred)² / Σ_n (gt - mean_n(gt))²``, then the
+    mean over the 3 components.
+    """
+    G = batch.n_graphs
+    gid = batch.node_gid
+    mask = batch.node_mask.astype(prediction.dtype)[:, None]
+
+    gt = ground_truth * mask
+    pred = prediction * mask
+    count = segment_sum(mask, gid, G + 1)  # (G+1, 1)
+    sum_gt = segment_sum(gt, gid, G + 1)  # (G+1, 3)
+    mean_gt = sum_gt / jnp.maximum(count, 1.0)
+
+    num = segment_sum((gt - pred) ** 2 * mask, gid, G + 1)
+    den = segment_sum((gt - mean_gt[gid]) ** 2 * mask, gid, G + 1)
+    ratio = num / jnp.where(den == 0, 1.0, den)
+    return jnp.mean(ratio, axis=-1)[:G]
+
+
+def divergence_field(
+    batch: GraphBatch, stress: jax.Array, zero_internal_boundary: bool = True
+) -> jax.Array:
+    """Nodal divergence vectors (Np, 2) of a (Np, 3) [xx, yy, xy] field.
+
+    Matches `compute_divergence`'s operator application
+    (`gnn_train.py:60-86`): the padded COO stores, per entry, the target
+    node row, the source dof's node and component; component 0 of the
+    divergence contracts (σxx, σxy) and component 1 contracts (σxy, σyy)
+    over the x/y dofs respectively. Boundary rows are zeroed — both
+    boundary types for the training penalty (`gnn_train.py:79-86`), only
+    the external boundary for analysis fields
+    (`compare_results.py:122-141`).
+    """
+    Np = stress.shape[0]
+    is_y = batch.div_col_is_y.astype(stress.dtype)
+    src = batch.div_col_node
+    v0 = jnp.where(is_y == 1, stress[src, 2], stress[src, 0])
+    v1 = jnp.where(is_y == 1, stress[src, 1], stress[src, 2])
+    contrib = batch.div_data[:, None] * jnp.stack([v0, v1], axis=-1)
+    div = segment_sum(contrib, batch.div_row, Np, indices_are_sorted=False)
+
+    node_type = batch.node_type[:, 0]
+    if zero_internal_boundary:
+        keep = (node_type == 0)[:, None]
+    else:
+        keep = (node_type != 1)[:, None]
+    return jnp.where(keep, div, 0.0)
+
+
+def per_graph_divergence(
+    batch: GraphBatch,
+    stress: jax.Array,
+    reduce_strategy: str = "square",
+) -> jax.Array:
+    """Per-graph scalar divergence penalty, shape (G,).
+
+    ``Σ_c mean_n(div_c²)`` per graph (`gnn_train.py:87-92`) — the node mean
+    runs over ALL the graph's nodes (boundary rows are zeroed but still
+    count in the denominator, like the reference).
+    """
+    div = divergence_field(batch, stress, zero_internal_boundary=True)
+    if reduce_strategy == "abs":
+        red = jnp.abs(div)
+    elif reduce_strategy == "square":
+        red = div * div
+    else:
+        raise AttributeError("reduce_strategy must be 'abs' or 'square'")
+    G = batch.n_graphs
+    mask = batch.node_mask.astype(stress.dtype)[:, None]
+    per_graph = segment_sum(red * mask, batch.node_gid, G + 1)[:G]
+    count = jnp.maximum(batch.graph_node_count.astype(stress.dtype), 1.0)
+    return jnp.sum(per_graph, axis=-1) / count
+
+
+def batch_loss(
+    batch: GraphBatch,
+    prediction: jax.Array,
+    ground_truth: jax.Array,
+    divergence_penalty: float = 0.0,
+    optimize_divergence: bool = False,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Total batch loss = mean-over-real-graphs NMSE (+ λ·mean divergence).
+
+    The reference sums per-graph losses and divides by the number of graphs
+    in the batch (`gnn_train.py:179,193-197`).
+    """
+    gmask = batch.graph_mask.astype(prediction.dtype)
+    n_real = jnp.maximum(jnp.sum(gmask), 1.0)
+    nmse = jnp.sum(per_graph_nmse(batch, prediction, ground_truth) * gmask) / n_real
+    aux = {"nmse": nmse}
+    total = nmse
+    if optimize_divergence:
+        div = (
+            jnp.sum(per_graph_divergence(batch, prediction) * gmask) / n_real
+        ) * divergence_penalty
+        aux["divergence"] = div
+        total = total + div
+    return total, aux
