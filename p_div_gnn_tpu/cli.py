@@ -1,0 +1,113 @@
+"""Command-line entry points (argparse; the reference used python-fire).
+
+Mirrors the reference CLIs:
+- ``pdg-train --config_path cfg.yml`` ↔ `scripts/gnn_train.py:438-447`
+- ``pdg-infer --config_path cfg.yml`` ↔ `scripts/gnn_inference.py:141-149`
+- ``pdg-generate ...``               ↔ `scripts/generate_dataset.py:665-776`
+- ``pdg-benchmark ...``              ↔ `scripts/benchmark_gnn_fem.py:485-590`
+- ``pdg-compare ...``                ↔ `scripts/compare_results.py:1057-1437`
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def train_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pdg-train")
+    p.add_argument("--config_path", required=True)
+    args = p.parse_args(argv)
+    from p_div_gnn_tpu.train.runner import main
+
+    main(args.config_path)
+
+
+def infer_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pdg-infer")
+    p.add_argument("--config_path", required=True)
+    args = p.parse_args(argv)
+    from p_div_gnn_tpu.inference import main
+
+    main(args.config_path)
+
+
+def generate_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pdg-generate")
+    p.add_argument("--n_samples", type=int, default=1000)
+    p.add_argument("--test_size", type=float, default=0.25)
+    p.add_argument("--seed", type=int, default=69)
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--max_workers", type=int, default=None)
+    p.add_argument(
+        "--hyperelastic", action="store_true",
+        help="Neo-Hookean finite-strain dataset (reference C17)",
+    )
+    args = p.parse_args(argv)
+    t0 = time.perf_counter()
+    from p_div_gnn_tpu.datagen.generate import main
+
+    main(
+        n_samples=args.n_samples,
+        test_size=args.test_size,
+        seed=args.seed,
+        dataset_path=args.dataset_path,
+        max_workers=args.max_workers,
+        hyperelastic=args.hyperelastic,
+    )
+    print(f"Data generated in {time.perf_counter() - t0:9.4f} seconds")
+
+
+def benchmark_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pdg-benchmark")
+    p.add_argument("--csv_data_filename", default=None)
+    p.add_argument("--hyperelastic", action="store_true")
+    p.add_argument("--output_folder", default="benchmark_results")
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args(argv)
+    from p_div_gnn_tpu.analysis.benchmark import main
+
+    main(
+        csv_data_filename=args.csv_data_filename,
+        hyperelastic=args.hyperelastic,
+        output_folder=args.output_folder,
+        steps=args.steps,
+    )
+
+
+def compare_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pdg-compare")
+    p.add_argument("--dataset_csv", required=True)
+    p.add_argument(
+        "--inference_folders", nargs="+", required=True,
+        help="one or more inference result folders (each with dataset.csv)",
+    )
+    p.add_argument("--model_names", nargs="+", default=None)
+    p.add_argument("--figures_folder", default=None)
+    p.add_argument("--topk", type=int, default=0)
+    args = p.parse_args(argv)
+    from p_div_gnn_tpu.analysis.compare import main
+
+    main(
+        dataset_csv=args.dataset_csv,
+        inference_folders=args.inference_folders,
+        model_names=args.model_names,
+        figures_folder=args.figures_folder,
+        topk=args.topk,
+    )
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
+    dispatch = {
+        "train": train_main,
+        "infer": infer_main,
+        "generate": generate_main,
+        "benchmark": benchmark_main,
+        "compare": compare_main,
+    }
+    if cmd not in dispatch:
+        print(f"usage: python -m p_div_gnn_tpu.cli {{{'|'.join(dispatch)}}} ...")
+        raise SystemExit(2)
+    dispatch[cmd](sys.argv[2:])

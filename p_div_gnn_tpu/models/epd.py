@@ -1,0 +1,199 @@
+"""EncodeProcessDecode — the P-DivGNN model family, TPU-first.
+
+Faithful re-design of the reference model
+(`/root/reference/gnn_local_stress/models.py:98-326`):
+
+- node features ``x = [σ̄xx, σ̄yy, σ̄xy, pos_x, pos_y, node_type]`` with
+  optional scalar standardization (`models.py:140-152`);
+- encoders 6→L and 1→L (Linear→ReLU→Linear→ReLU→graph-LN), ONE Processor
+  shared across all message-passing steps (weight tying,
+  `models.py:276-280,313-314`), decoder L→L→3;
+- Processor step (`models.py:210-243`): messages
+  ``edge_net([x_target, x_source, e])`` (PyG ``x_i`` is the TARGET under
+  source_to_target flow), scatter-add over targets, node update
+  ``node_net([aggr, x])`` + residual; edge update
+  ``edge_net([x_source, x_target, e])`` + residual — note the swapped
+  concat order vs the message computation: the two edge_net evaluations
+  share weights but see different inputs, so both are evaluated (each with
+  its own graph-LN statistics);
+- zero early-exit when the macroscopic stress is all zero
+  (`models.py:294-299`).
+
+TPU-first decomposition: the edge MLP's first linear over the concat
+``[u, v, e]`` is split into per-slot kernels so the two node projections
+are computed ONCE per step at node granularity (N rows) and gathered,
+instead of materializing (E, 3L) concats — at E≈7N this removes ~2/3 of
+the per-edge first-layer FLOPs and all concat HBM traffic; the ``e``-slot
+projection is shared between the message and edge-update evaluations.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
+from p_div_gnn_tpu.models.blocks import (
+    GraphLayerNorm,
+    MLPBlock,
+    TorchDense,
+    torch_linear_kernel_init,
+)
+from p_div_gnn_tpu.ops.scatter import scatter_add
+from p_div_gnn_tpu.utils.precision import matmul_precision
+
+
+class Processor(nn.Module):
+    """One message-passing step (reference `Processor`, models.py:182-243)."""
+
+    latent_size: int
+    scatter_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (Np, L) node latents
+        e: jax.Array,  # (Ep, L) edge latents
+        batch: GraphBatch,
+        axis_name: str | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        L = self.latent_size
+
+        # edge_net first linear, decomposed over concat slots [u, v, e]:
+        # rows 0:L ← u (first concat slot), L:2L ← v, 2L:3L ← e.
+        w_u = self.param("edge_w_u", torch_linear_kernel_init, (L, L))
+        w_v = self.param("edge_w_v", torch_linear_kernel_init, (L, L))
+        w_e = self.param("edge_w_e", torch_linear_kernel_init, (L, L))
+        bound = 1.0 / jnp.sqrt(3 * L)
+        edge_b0 = self.param(
+            "edge_b0",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (L,),
+        )
+        edge_lin1 = TorchDense(L, name="edge_lin1")
+        edge_ln = GraphLayerNorm(L, name="edge_ln")
+
+        snd, rcv = batch.senders, batch.receivers
+        edge_mask = batch.edge_mask
+
+        # Hoisted node projections (N-sized matmuls instead of E-sized).
+        prec = matmul_precision()
+        proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
+        proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
+        e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
+
+        def edge_net_tail(pre: jax.Array) -> jax.Array:
+            h = nn.relu(pre)
+            return edge_ln(nn.relu(edge_lin1(h)), edge_mask, axis_name)
+
+        # message: edge_net([x_i, x_j, e]) with i=target, j=source.
+        msg_pre = proj_u[rcv] + proj_v[snd] + e_proj + edge_b0
+        messages = edge_net_tail(msg_pre)
+
+        # edge update: edge_net([x_row, x_col, e]) = [source, target, e].
+        upd_pre = proj_u[snd] + proj_v[rcv] + e_proj + edge_b0
+        new_e = edge_net_tail(upd_pre)
+
+        # aggregate (scatter-add over targets) then node_net([aggr, x]).
+        aggr = scatter_add(
+            messages,
+            rcv,
+            x.shape[0],
+            tile_ptr=batch.tile_ptr,
+            impl=self.scatter_impl,
+        )
+        n_a = self.param("node_w_a", torch_linear_kernel_init, (L, L))
+        n_x = self.param("node_w_x", torch_linear_kernel_init, (L, L))
+        nbound = 1.0 / jnp.sqrt(2 * L)
+        node_b0 = self.param(
+            "node_b0",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -nbound, nbound),
+            (L,),
+        )
+        node_lin1 = TorchDense(L, name="node_lin1")
+        node_ln = GraphLayerNorm(L, name="node_ln")
+        node_pre = (
+            jnp.dot(aggr, n_a, precision=prec)
+            + jnp.dot(x, n_x, precision=prec)
+            + node_b0
+        )
+        node_h = nn.relu(node_pre)
+        new_x = node_ln(nn.relu(node_lin1(node_h)), batch.node_mask, axis_name)
+
+        return new_x + x, new_e + e
+
+
+class EncodeProcessDecode(nn.Module):
+    """Encode-process-decode stress-field model (models.py:246-326)."""
+
+    latent_size: int = 128
+    message_passing_steps: int = 10
+    input_nodes_features_size: int = 6
+    input_edges_features_size: int = 1
+    output_nodes_features_size: int = 3
+    scatter_impl: str = "xla"
+
+    def format_node_features(
+        self, batch: GraphBatch, stats: NormStats, scale_input: bool
+    ) -> jax.Array:
+        mean_stress, pos = batch.mean_stress, batch.pos
+        if scale_input:
+            mean_stress = (mean_stress - stats.mean_mean_stress) / (
+                stats.std_mean_stress
+            )
+            pos = (pos - stats.mean_pos) / stats.std_pos
+        return jnp.concatenate([mean_stress, pos, batch.node_type], axis=-1)
+
+    def format_edge_features(
+        self, batch: GraphBatch, stats: NormStats, scale_input: bool
+    ) -> jax.Array:
+        w = batch.edge_weight
+        if scale_input:
+            w = (w - stats.mean_edge_weight) / stats.std_edge_weight
+        return w
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        stats: NormStats,
+        scale_input: bool = True,
+        scale_output: bool = True,
+        axis_name: str | None = None,
+    ) -> jax.Array:
+        x_in = self.format_node_features(batch, stats, scale_input)
+        e_in = self.format_edge_features(batch, stats, scale_input)
+        node_mask, edge_mask = batch.node_mask, batch.edge_mask
+
+        x = MLPBlock(self.latent_size, name="node_encoder")(
+            x_in, node_mask, axis_name
+        )
+        e = MLPBlock(self.latent_size, name="edge_encoder")(
+            e_in, edge_mask, axis_name
+        )
+        processor = Processor(
+            self.latent_size, scatter_impl=self.scatter_impl, name="processor"
+        )
+        for _ in range(self.message_passing_steps):
+            x, e = processor(x, e, batch, axis_name)
+
+        decoded = MLPBlock(
+            self.latent_size,
+            out_size=self.output_nodes_features_size,
+            layer_norm=False,
+            name="node_decoder",
+        )(x)
+
+        if scale_output:
+            decoded = decoded * stats.std_local_stress + stats.mean_local_stress
+
+        # Zero early-exit (`models.py:294-299`): all-zero macroscopic stress
+        # → zero field. Batch-level check like the reference. psum under
+        # sharding so all shards agree.
+        any_nonzero = jnp.any(batch.mean_stress != 0)
+        if axis_name is not None:
+            any_nonzero = jax.lax.psum(
+                any_nonzero.astype(jnp.int32), axis_name
+            ) > 0
+        return jnp.where(any_nonzero, decoded, jnp.zeros_like(decoded))

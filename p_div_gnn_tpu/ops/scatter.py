@@ -1,0 +1,32 @@
+"""Scatter-add dispatch: the edge→node aggregation hot op.
+
+Implementations share one contract: ``messages`` is (Ep, L) sorted by
+``receivers`` (CSR order, guaranteed by the batcher), output is (Np, L)
+per-node sums. ``impl='xla'`` lowers to XLA's sorted scatter;
+``impl='pallas'`` uses the MXU one-hot-matmul kernel
+(ops/scatter_pallas.py). The reference's counterpart is PyG's CUDA
+scatter-add (`/root/reference/gnn_local_stress/models.py:191,215-217`).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from p_div_gnn_tpu.ops.segment import segment_sum
+
+
+def scatter_add(
+    messages: jax.Array,
+    receivers: jax.Array,
+    num_nodes: int,
+    tile_ptr: jax.Array | None = None,
+    impl: str = "xla",
+) -> jax.Array:
+    if impl == "xla":
+        return segment_sum(messages, receivers, num_nodes, indices_are_sorted=True)
+    if impl == "pallas":
+        from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
+
+        assert tile_ptr is not None, "pallas scatter needs tile_ptr"
+        return pallas_segment_sum(messages, receivers, tile_ptr, num_nodes)
+    raise ValueError(f"unknown scatter impl {impl!r}")

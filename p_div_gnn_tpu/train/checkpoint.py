@@ -1,0 +1,62 @@
+"""Checkpointing: params + optimizer state + epoch + the 8 normalization
+stats, mirroring the reference checkpoint contract
+(`/root/reference/gnn_local_stress/models.py:44-95`): a best-on-test
+checkpoint and a last-epoch checkpoint, loader restores stats, optimizer
+restore optional, and the epoch is returned for resume.
+
+Format: msgpack via flax.serialization (framework-native, no torch).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import flax.serialization
+import jax
+import numpy as np
+
+from p_div_gnn_tpu.graphs.container import NormStats
+
+BEST_CHECKPOINT = "model_weights.ckpt"
+LAST_CHECKPOINT = "last_epoch_model_weights.ckpt"
+
+
+def save_checkpoint(
+    path: str | Path,
+    params: Any,
+    opt_state: Any,
+    epoch: int,
+    stats: NormStats,
+) -> None:
+    payload = {
+        "model_state_dict": flax.serialization.to_state_dict(
+            jax.tree.map(np.asarray, params)
+        ),
+        "optimizer_state_dict": flax.serialization.to_state_dict(
+            jax.tree.map(np.asarray, opt_state)
+        ),
+        "epoch": epoch,
+        "stats": stats.to_dict(),
+    }
+    data = flax.serialization.msgpack_serialize(payload)
+    Path(path).write_bytes(data)
+
+
+def load_checkpoint(
+    path: str | Path,
+    params_template: Any,
+    opt_state_template: Any | None = None,
+) -> tuple[Any, Any | None, int, NormStats]:
+    """Returns (params, opt_state_or_None, epoch, stats)."""
+    payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
+    params = flax.serialization.from_state_dict(
+        params_template, payload["model_state_dict"]
+    )
+    opt_state = None
+    if opt_state_template is not None:
+        opt_state = flax.serialization.from_state_dict(
+            opt_state_template, payload["optimizer_state_dict"]
+        )
+    stats = NormStats.from_dict(payload["stats"])
+    return params, opt_state, int(payload["epoch"]), stats

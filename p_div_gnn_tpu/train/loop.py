@@ -1,0 +1,199 @@
+"""Training loop: jit'd fused step, eval, checkpoints, early stopping.
+
+Behavioral twin of the reference `train()` (`gnn_train.py:95-305`):
+Adam(lr), per-epoch train + eval passes, TensorBoard-style scalar logging,
+best-on-test + last-epoch checkpoints, early-stopping counter (disabled by
+``train_all_epochs``). The per-graph Python loss loop is replaced by the
+fused segment-reduction loss; the whole step (forward + loss + backward +
+Adam) is ONE jit region with donated parameter/optimizer buffers. XLA
+retraces once per padded-shape bucket and caches thereafter.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
+from p_div_gnn_tpu.losses import batch_loss, per_graph_divergence
+from p_div_gnn_tpu.models.epd import EncodeProcessDecode
+from p_div_gnn_tpu.train.checkpoint import (
+    BEST_CHECKPOINT,
+    LAST_CHECKPOINT,
+    save_checkpoint,
+)
+from p_div_gnn_tpu.train.data import GraphLoader
+from p_div_gnn_tpu.train.logging import MetricsWriter
+
+
+@dataclass
+class Trainer:
+    model: EncodeProcessDecode
+    stats: NormStats
+    learning_rate: float = 1e-3
+    divergence_penalty: float = 1.0
+    optimize_divergence: bool = True
+    monitor_divergence_in_test: bool = False
+
+    def __post_init__(self):
+        # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8
+        # (`gnn_train.py:118`); optax.adam matches bias correction + eps
+        # placement (outside the sqrt).
+        self.optimizer = optax.adam(self.learning_rate)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init(self, rng: jax.Array, batch: GraphBatch):
+        params = self.model.init(rng, batch, self.stats)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def _loss_fn(self, params, batch: GraphBatch):
+        pred = self.model.apply(
+            params, batch, self.stats, scale_input=True, scale_output=False
+        )
+        # GT standardized instead of un-scaling predictions
+        # (`gnn_train.py:162-167`).
+        gt = (
+            batch.local_stress - self.stats.mean_local_stress
+        ) / self.stats.std_local_stress
+        total, aux = batch_loss(
+            batch,
+            pred,
+            gt,
+            divergence_penalty=self.divergence_penalty,
+            optimize_divergence=self.optimize_divergence,
+        )
+        return total, aux
+
+    def _train_step_impl(self, params, opt_state, batch: GraphBatch):
+        (total, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            params, batch
+        )
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["total"] = total
+        return params, opt_state, aux
+
+    def _eval_step_impl(self, params, batch: GraphBatch):
+        pred = self.model.apply(
+            params, batch, self.stats, scale_input=True, scale_output=False
+        )
+        gt = (
+            batch.local_stress - self.stats.mean_local_stress
+        ) / self.stats.std_local_stress
+        total, aux = batch_loss(batch, pred, gt, 0.0, False)
+        if self.monitor_divergence_in_test:
+            gmask = batch.graph_mask.astype(pred.dtype)
+            n_real = jnp.maximum(jnp.sum(gmask), 1.0)
+            aux["divergence"] = (
+                jnp.sum(per_graph_divergence(batch, pred) * gmask) / n_real
+            )
+            total = total + aux["divergence"]
+        aux["total"] = total
+        return aux
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        params: Any,
+        opt_state: Any,
+        train_loader: GraphLoader,
+        test_loader: GraphLoader,
+        epochs: int,
+        weights_folder: str | Path,
+        writer: MetricsWriter | None = None,
+        early_stopping_limit: int = 10,
+        train_all_epochs: bool = False,
+        verbose: bool = True,
+    ) -> tuple[Any, Any, list[float], list[float]]:
+        weights_folder = Path(weights_folder)
+        weights_folder.mkdir(parents=True, exist_ok=False)
+        best_loss = sys.float_info.max
+        train_losses: list[float] = []
+        test_losses: list[float] = []
+        early_stopping_counter = 0
+        epoch = 0
+        for epoch in range(epochs):
+            if (
+                not train_all_epochs
+                and early_stopping_counter >= early_stopping_limit
+            ):
+                if verbose:
+                    print("Training early stopped")
+                break
+            tr_nmse = tr_div = tr_total = 0.0
+            n_tr = 0
+            for batch in train_loader:
+                params, opt_state, aux = self._train_step(
+                    params, opt_state, batch
+                )
+                tr_nmse += float(aux["nmse"])
+                tr_total += float(aux["total"])
+                if self.optimize_divergence:
+                    tr_div += float(aux["divergence"])
+                n_tr += 1
+            te_nmse = te_div = te_total = 0.0
+            n_te = 0
+            for batch in test_loader:
+                aux = self._eval_step(params, batch)
+                te_nmse += float(aux["nmse"])
+                te_total += float(aux["total"])
+                if self.monitor_divergence_in_test:
+                    te_div += float(aux["divergence"])
+                n_te += 1
+
+            train_loss = tr_total / max(n_tr, 1)
+            test_loss = te_total / max(n_te, 1)
+            if writer is not None:
+                writer.add_scalar("Loss/MSE Train", tr_nmse / max(n_tr, 1), epoch + 1)
+                writer.add_scalar("Loss/Loss Train", train_loss, epoch + 1)
+                writer.add_scalar("Loss/MSE Test", test_loss, epoch + 1)
+                if self.optimize_divergence:
+                    writer.add_scalar(
+                        "Loss/Divergence Train", tr_div / max(n_tr, 1), epoch + 1
+                    )
+                if self.monitor_divergence_in_test:
+                    writer.add_scalar(
+                        "Loss/Divergence test value",
+                        te_div / max(n_te, 1),
+                        epoch + 1,
+                    )
+                writer.flush()
+            if test_loss < best_loss:
+                save_checkpoint(
+                    weights_folder / BEST_CHECKPOINT,
+                    params,
+                    opt_state,
+                    epoch + 1,
+                    self.stats,
+                )
+                best_loss = test_loss
+                early_stopping_counter = 0
+                if verbose:
+                    print(f"Checkpoint saved at {weights_folder / BEST_CHECKPOINT}")
+            else:
+                early_stopping_counter += 1
+            if verbose:
+                print(
+                    f"Epoch: {epoch + 1} / {epochs}, "
+                    f"\nTotal train Loss : {train_loss}"
+                    f"\nMSE train Loss : {tr_nmse / max(n_tr, 1)} "
+                    f"\nTest Loss : {test_loss}"
+                )
+            train_losses.append(train_loss)
+            test_losses.append(test_loss)
+        save_checkpoint(
+            weights_folder / LAST_CHECKPOINT,
+            params,
+            opt_state,
+            epoch + 1,
+            self.stats,
+        )
+        return params, opt_state, train_losses, test_losses

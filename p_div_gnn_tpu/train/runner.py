@@ -1,0 +1,145 @@
+"""Experiment runner: YAML config → datasets → model → training.
+
+Behavioral twin of `run_experience` (`/root/reference/scripts/gnn_train.py:
+331-435`) with the same config keys (the reference YAML files work as-is):
+dataset_train_csv, dataset_test_csv, results_folder, epochs, batch_size,
+learning_rate, early_stopping_limit, divergence, divergence_penalty,
+latent_size, message_passing_steps, train_all_epochs,
+monitor_divergence_in_test, periodic_graph. `device` is accepted and
+ignored (JAX targets whatever backend is active).
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import pandas as pd
+import yaml
+
+from p_div_gnn_tpu.graphs.dataset import MeshStressFieldDataset
+from p_div_gnn_tpu.models.epd import EncodeProcessDecode
+from p_div_gnn_tpu.train.data import GraphLoader
+from p_div_gnn_tpu.train.logging import MetricsWriter
+from p_div_gnn_tpu.train.loop import Trainer
+
+SEED = 69  # `gnn_train.py:38`
+
+
+def count_params(params: Any) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+def _write_dataset_histograms(
+    df: pd.DataFrame, writer: MetricsWriter, tag: str
+) -> None:
+    for col, name in [
+        ("hole_plate_radius", "Hole plate radius"),
+        ("mean_stress_x", "Mean stress X"),
+        ("mean_stress_y", "Mean stress Y"),
+        ("mean_stress_xy", "Mean stress XY"),
+    ]:
+        if col in df:
+            writer.add_histogram(f"{tag}/{name}", df[col].to_numpy())
+
+
+def run_experience(
+    dataset_train_csv: str,
+    dataset_test_csv: str,
+    results_folder: str,
+    epochs: int,
+    batch_size: int,
+    divergence: bool,
+    latent_size: int,
+    divergence_penalty: float,
+    early_stopping_limit: int,
+    learning_rate: float,
+    message_passing_steps: int,
+    train_all_epochs: bool = False,
+    device: str = "tpu",  # accepted for config compat; backend is JAX's
+    periodic_graph: bool = True,
+    monitor_divergence_in_test: bool = False,
+    config_path: Path | str = Path(""),
+    scatter_impl: str = "xla",
+    **_ignored: Any,
+) -> tuple[list[float], list[float]]:
+    random.seed(SEED)
+    np.random.seed(SEED)
+    rng = jax.random.PRNGKey(SEED)
+
+    train_df = pd.read_csv(dataset_train_csv)
+    test_df = pd.read_csv(dataset_test_csv)
+    results = Path(results_folder)
+    with MetricsWriter(results / "Dataset stats") as w:
+        _write_dataset_histograms(train_df, w, "Train Dataset")
+        _write_dataset_histograms(test_df, w, "Test Dataset")
+        w.add_text("Dataset train csv", dataset_train_csv)
+        w.add_text("Dataset test csv", dataset_test_csv)
+
+    print(f"Size train dataset {len(train_df)}")
+    print(f"Size test dataset {len(test_df)}")
+    print("Loading datasets...")
+    train_ds = MeshStressFieldDataset(train_df, periodic_graph=periodic_graph)
+    # NB: the reference builds the test dataset with the default
+    # periodic_graph=True even for no-periodic runs (`gnn_train.py:386`);
+    # reproduced deliberately.
+    test_ds = MeshStressFieldDataset(test_df)
+    train_loader = GraphLoader(
+        train_ds.samples, batch_size, shuffle=True, seed=SEED
+    )
+    test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False)
+
+    model = EncodeProcessDecode(
+        latent_size=latent_size,
+        message_passing_steps=message_passing_steps,
+        input_nodes_features_size=6,
+        input_edges_features_size=1,
+        output_nodes_features_size=3,
+        scatter_impl=scatter_impl,
+    )
+    trainer = Trainer(
+        model=model,
+        stats=train_ds.stats,  # TRAIN-set stats (`gnn_train.py:397-411`)
+        learning_rate=learning_rate,
+        divergence_penalty=divergence_penalty,
+        optimize_divergence=divergence,
+        monitor_divergence_in_test=monitor_divergence_in_test,
+    )
+    first_batch = next(iter(test_loader))
+    params, opt_state = trainer.init(rng, first_batch)
+    print(f"EncodeProcessDecode params: {count_params(params)}")
+
+    if str(config_path):
+        results.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(config_path, results / Path(config_path).name)
+    with MetricsWriter(results / "train_logs") as writer:
+        writer.add_text(
+            "Train parameters",
+            f"Batch size = {batch_size}; Learning rate = {learning_rate}; "
+            f"Epochs = {epochs}; Divergence = {divergence}; "
+            f"Divergence lambda = {divergence_penalty}; "
+            f"Early stopping limit = {early_stopping_limit};",
+        )
+        _, _, train_losses, test_losses = trainer.fit(
+            params,
+            opt_state,
+            train_loader,
+            test_loader,
+            epochs=epochs,
+            weights_folder=results / "weights",
+            writer=writer,
+            early_stopping_limit=early_stopping_limit,
+            train_all_epochs=train_all_epochs,
+        )
+    return train_losses, test_losses
+
+
+def main(config_path: str) -> None:
+    with open(config_path) as fh:
+        params = yaml.safe_load(fh)
+    params["config_path"] = Path(config_path)
+    run_experience(**params)

@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Keep compilation deterministic and fast on CPU.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compile cache — this box has 2 CPUs; recompiles dominate
+# test wall time without it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
