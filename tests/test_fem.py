@@ -1,0 +1,120 @@
+"""FEM generator verification: patch test, periodicity, divergence-operator
+exactness, and hole-plate physics sanity (numpy/scipy only — no JAX)."""
+
+import numpy as np
+import pytest
+
+from p_div_gnn_tpu.datagen.fem import (
+    plane_stress_D,
+    solve_periodic_rve,
+)
+from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh, is_periodic_mesh
+from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix
+
+from toy_meshes import grid_mesh
+
+
+def test_patch_test_uniform_strain():
+    """A homogeneous plate under prescribed mean strain must carry the
+    exact uniform stress σ = D·ε everywhere (P1 patch test)."""
+    mesh = grid_mesh(6, 6, width=10.0)
+    pts = mesh.points[:, :2]
+    eps = (0.02, -0.01, 0.03)
+    res = solve_periodic_rve(pts, mesh.faces, *eps)
+    D = plane_stress_D(1e5, 0.3)
+    expected = D @ np.array(eps)
+    np.testing.assert_allclose(res.stress_nodes, np.tile(expected, (len(pts), 1)),
+                               rtol=1e-8, atol=1e-6)
+    np.testing.assert_allclose(res.mean_stress, expected, rtol=1e-8)
+    np.testing.assert_allclose(res.mean_stress_material, expected, rtol=1e-8)
+
+
+def test_solution_is_periodic_with_prescribed_jumps():
+    mesh = hole_plate_mesh(100, 100, 20, (50, 50), 5, 10, seed=1)
+    pts = mesh.points[:, :2]
+    assert is_periodic_mesh(pts)
+    exx, eyy, gxy = 0.03, -0.02, 0.04
+    res = solve_periodic_rve(pts, mesh.faces, exx, eyy, gxy)
+    u = res.displacement
+    min_x, min_y = pts.min(0)
+    max_x, max_y = pts.max(0)
+    W, H = max_x - min_x, max_y - min_y
+    left = np.where((pts[:, 0] == min_x))[0]
+    right = np.where((pts[:, 0] == max_x))[0]
+    left = left[np.argsort(pts[left, 1])]
+    right = right[np.argsort(pts[right, 1])]
+    jump = u[right] - u[left]
+    # G = [[exx, 0], [gxy, eyy]] → u(x+W)-u(x) = (exx·W, gxy·W)
+    np.testing.assert_allclose(jump[:, 0], exx * W, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(jump[:, 1], gxy * W, rtol=1e-6, atol=1e-9)
+    bot = np.where((pts[:, 1] == min_y))[0]
+    top = np.where((pts[:, 1] == max_y))[0]
+    bot = bot[np.argsort(pts[bot, 0])]
+    top = top[np.argsort(pts[top, 0])]
+    jump2 = u[top] - u[bot]
+    np.testing.assert_allclose(jump2[:, 0], 0.0, atol=1e-8)
+    np.testing.assert_allclose(jump2[:, 1], eyy * H, rtol=1e-6, atol=1e-9)
+
+
+def test_mean_stress_relations():
+    """Hole plate: mean stress over box volume < over material volume, with
+    ratio = material fraction; stress concentrates at the hole."""
+    mesh = hole_plate_mesh(100, 100, 25, (50, 50), 6, 8, seed=2)
+    pts = mesh.points[:, :2]
+    res = solve_periodic_rve(pts, mesh.faces, 0.02, 0.0, 0.0)
+    frac = 1 - np.pi * 25**2 / 1e4
+    ratio = res.mean_stress / res.mean_stress_material
+    np.testing.assert_allclose(ratio[0], frac, rtol=2e-2)
+    # von-Mises-ish concentration: max nodal stress well above the mean
+    assert res.stress_nodes[:, 0].max() > 1.5 * res.mean_stress_material[0]
+
+
+def test_op_div_exact_for_linear_field():
+    mesh = hole_plate_mesh(100, 100, 20, (50, 50), 4, 10, seed=3)
+    pts = mesh.points[:, :2]
+    D = compute_op_div_matrix(pts, mesh.faces)
+    n = len(pts)
+    assert D.shape == (n, 2 * n)
+    # constant vector field → exactly zero divergence
+    v = np.concatenate([np.full(n, 1.7), np.full(n, -0.3)])
+    np.testing.assert_allclose(D @ v, 0.0, atol=1e-12)
+    # linear field v = (a·x, b·y) → div = a + b exactly (projection of a
+    # constant is that constant)
+    a, b = 0.4, -1.1
+    v = np.concatenate([a * pts[:, 0], b * pts[:, 1]])
+    np.testing.assert_allclose(D @ v, a + b, rtol=1e-9)
+
+
+def test_fem_solution_satisfies_discrete_equilibrium():
+    """div(σ_FEM) projected to nodes must be small in the interior relative
+    to the stress scale — the property the physics loss exploits."""
+    mesh = hole_plate_mesh(100, 100, 20, (50, 50), 6, 8, seed=4)
+    pts = mesh.points[:, :2]
+    res = solve_periodic_rve(pts, mesh.faces, 0.02, 0.01, -0.015)
+    D = compute_op_div_matrix(pts, mesh.faces)
+    n = len(pts)
+    s = res.stress_nodes
+    S = np.stack(
+        [
+            np.concatenate([s[:, 0], s[:, 2]]),
+            np.concatenate([s[:, 2], s[:, 1]]),
+        ],
+        axis=1,
+    )
+    div = D @ S  # (N, 2)
+    from p_div_gnn_tpu.graphs import compute_node_labels
+
+    labels = compute_node_labels(mesh)
+    interior = labels == 0
+    stress_scale = np.abs(s).max()
+    # characteristic length ~ mesh size; equilibrium residual of the
+    # node-projected field is O(h)·stress gradient, small vs σ/h_domain
+    rel = np.abs(div[interior]).max() / (stress_scale / 10.0)
+    assert rel < 1.0, f"interior divergence too large: {rel}"
+
+
+def test_mesh_determinism():
+    m1 = hole_plate_mesh(100, 100, 15, (40, 60), 5, 9, seed=7)
+    m2 = hole_plate_mesh(100, 100, 15, (40, 60), 5, 9, seed=7)
+    np.testing.assert_array_equal(m1.points, m2.points)
+    np.testing.assert_array_equal(m1.faces, m2.faces)
