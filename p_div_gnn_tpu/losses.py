@@ -97,27 +97,97 @@ def per_graph_divergence(
     return jnp.sum(per_graph, axis=-1) / count
 
 
+def partitioned_batch_loss(
+    batch: GraphBatch,
+    prediction: jax.Array,
+    ground_truth: jax.Array,
+    halo,
+    axis_name: str,
+    divergence_penalty: float = 0.0,
+    optimize_divergence: bool = False,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Loss under edge-partitioned execution: the SAME graphs are split
+    across shards, so per-graph segment sums (counts, GT means, NMSE
+    numerators/denominators, divergence partials) are psum'd over the graph
+    axis before forming the per-graph ratios. Divergence-operator columns
+    may reference remote nodes; the prediction is halo-exchanged once.
+
+    Returns the replicated (identical on every shard) total loss.
+    """
+    G = batch.n_graphs
+    gid = batch.node_gid
+    mask = batch.node_mask.astype(prediction.dtype)[:, None]
+    psum = lambda v: jax.lax.psum(v, axis_name)
+
+    gt = ground_truth * mask
+    pred = prediction * mask
+    count = psum(segment_sum(mask, gid, G + 1))
+    sum_gt = psum(segment_sum(gt, gid, G + 1))
+    mean_gt = sum_gt / jnp.maximum(count, 1.0)
+    num = psum(segment_sum((gt - pred) ** 2 * mask, gid, G + 1))
+    den = psum(segment_sum((gt - mean_gt[gid]) ** 2 * mask, gid, G + 1))
+    nmse_per_graph = jnp.mean(num / jnp.where(den == 0, 1.0, den), axis=-1)[:G]
+
+    gmask = (count[:G, 0] > 0).astype(prediction.dtype)
+    n_real = jnp.maximum(jnp.sum(gmask), 1.0)
+    nmse = jnp.sum(nmse_per_graph * gmask) / n_real
+    aux = {"nmse": nmse}
+    total = nmse
+    if optimize_divergence:
+        pred_ext = halo.exchange(prediction)
+        Np = prediction.shape[0]
+        is_y = batch.div_col_is_y.astype(prediction.dtype)
+        src = batch.div_col_node  # extended address space under partitioning
+        v0 = jnp.where(is_y == 1, pred_ext[src, 2], pred_ext[src, 0])
+        v1 = jnp.where(is_y == 1, pred_ext[src, 1], pred_ext[src, 2])
+        contrib = batch.div_data[:, None] * jnp.stack([v0, v1], axis=-1)
+        div = segment_sum(contrib, batch.div_row, Np, indices_are_sorted=False)
+        keep = (batch.node_type[:, 0] == 0)[:, None]
+        div = jnp.where(keep, div, 0.0)
+        per_graph = psum(
+            segment_sum(div * div * mask, gid, G + 1)
+        )[:G]
+        div_per_graph = jnp.sum(per_graph, axis=-1) / jnp.maximum(
+            count[:G, 0], 1.0
+        )
+        div_loss = (
+            jnp.sum(div_per_graph * gmask) / n_real
+        ) * divergence_penalty
+        aux["divergence"] = div_loss
+        total = total + div_loss
+    return total, aux
+
+
 def batch_loss(
     batch: GraphBatch,
     prediction: jax.Array,
     ground_truth: jax.Array,
     divergence_penalty: float = 0.0,
     optimize_divergence: bool = False,
+    axis_name: str | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Total batch loss = mean-over-real-graphs NMSE (+ λ·mean divergence).
 
     The reference sums per-graph losses and divides by the number of graphs
-    in the batch (`gnn_train.py:179,193-197`).
+    in the batch (`gnn_train.py:179,193-197`). Under data-parallel sharding
+    (``axis_name`` set inside shard_map) the sums and real-graph counts are
+    psum'd so the sharded loss equals the unsharded whole-batch loss.
     """
     gmask = batch.graph_mask.astype(prediction.dtype)
-    n_real = jnp.maximum(jnp.sum(gmask), 1.0)
-    nmse = jnp.sum(per_graph_nmse(batch, prediction, ground_truth) * gmask) / n_real
+    nmse_sum = jnp.sum(per_graph_nmse(batch, prediction, ground_truth) * gmask)
+    n_real = jnp.sum(gmask)
+    if axis_name is not None:
+        nmse_sum = jax.lax.psum(nmse_sum, axis_name)
+        n_real = jax.lax.psum(n_real, axis_name)
+    n_real = jnp.maximum(n_real, 1.0)
+    nmse = nmse_sum / n_real
     aux = {"nmse": nmse}
     total = nmse
     if optimize_divergence:
-        div = (
-            jnp.sum(per_graph_divergence(batch, prediction) * gmask) / n_real
-        ) * divergence_penalty
+        div_sum = jnp.sum(per_graph_divergence(batch, prediction) * gmask)
+        if axis_name is not None:
+            div_sum = jax.lax.psum(div_sum, axis_name)
+        div = (div_sum / n_real) * divergence_penalty
         aux["divergence"] = div
         total = total + div
     return total, aux

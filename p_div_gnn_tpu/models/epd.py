@@ -30,6 +30,7 @@ projection is shared between the message and edge-update evaluations.
 from __future__ import annotations
 
 import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,30 @@ from p_div_gnn_tpu.ops.scatter import scatter_add
 from p_div_gnn_tpu.utils.precision import matmul_precision
 
 
+class Halo(flax.struct.PyTreeNode):
+    """Ghost-node exchange plan for edge-partitioned execution
+    (SURVEY §2 parallelism item 2 — the graph analog of sequence
+    parallelism).
+
+    Each shard owns a contiguous node range; edges live with their
+    receiver's owner, and senders may reference remote nodes. Per
+    message-passing step every shard all-gathers a fixed-size buffer of its
+    ``send_idx`` nodes over the ``axis_name`` mesh axis; edge sender
+    indices are pre-encoded in the extended address space
+    ``[local 0..Nl) ++ [ghost Nl + d*H + slot)``.
+    """
+
+    send_idx: jax.Array  # (H,) local node indices to publish each step
+    axis_name: str = flax.struct.field(pytree_node=False, default="graph")
+
+    def exchange(self, x_local: jax.Array) -> jax.Array:
+        buf = x_local[self.send_idx]  # (H, C)
+        gathered = jax.lax.all_gather(buf, self.axis_name)  # (D, H, C)
+        return jnp.concatenate(
+            [x_local, gathered.reshape(-1, x_local.shape[-1])], axis=0
+        )
+
+
 class Processor(nn.Module):
     """One message-passing step (reference `Processor`, models.py:182-243)."""
 
@@ -53,10 +78,11 @@ class Processor(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # (Np, L) node latents
+        x: jax.Array,  # (Np, L) node latents (owned/local under halo)
         e: jax.Array,  # (Ep, L) edge latents
         batch: GraphBatch,
         axis_name: str | None = None,
+        halo: Halo | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         L = self.latent_size
 
@@ -78,9 +104,12 @@ class Processor(nn.Module):
         edge_mask = batch.edge_mask
 
         # Hoisted node projections (N-sized matmuls instead of E-sized).
+        # Under edge partitioning, senders address the extended
+        # [local ++ ghost] space refreshed by one all-gather per step.
         prec = matmul_precision()
-        proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
-        proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
+        x_ext = halo.exchange(x) if halo is not None else x
+        proj_u = jnp.dot(x_ext, w_u, precision=prec)  # FIRST concat slot
+        proj_v = jnp.dot(x_ext, w_v, precision=prec)  # SECOND concat slot
         e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
         def edge_net_tail(pre: jax.Array) -> jax.Array:
@@ -161,6 +190,7 @@ class EncodeProcessDecode(nn.Module):
         scale_input: bool = True,
         scale_output: bool = True,
         axis_name: str | None = None,
+        halo: Halo | None = None,
     ) -> jax.Array:
         x_in = self.format_node_features(batch, stats, scale_input)
         e_in = self.format_edge_features(batch, stats, scale_input)
@@ -176,7 +206,7 @@ class EncodeProcessDecode(nn.Module):
             self.latent_size, scatter_impl=self.scatter_impl, name="processor"
         )
         for _ in range(self.message_passing_steps):
-            x, e = processor(x, e, batch, axis_name)
+            x, e = processor(x, e, batch, axis_name, halo)
 
         decoded = MLPBlock(
             self.latent_size,

@@ -1,0 +1,279 @@
+"""Edge-partitioned graph execution — the TP/SP analog for mesh GNNs
+(SURVEY §2 parallelism item 2; no reference counterpart — the reference is
+single-GPU).
+
+A (batch of) graph(s) is split into contiguous node ranges, one per device
+on the ``graph`` mesh axis. Each shard owns its node range plus every edge
+whose RECEIVER lands in the range; senders that live elsewhere become
+ghosts. The host-side planner builds a fixed-size halo: each shard
+publishes the union of its nodes needed by any other shard, one
+``all_gather`` per message-passing step refreshes all ghosts, and edge
+sender indices are pre-encoded into the extended
+``[local ++ D·H ghost]`` address space. Periodic boundary edges (C2) are
+the canonical cut edges — they connect opposite sides of the RVE and are
+usually remote.
+
+Losses psum per-graph segment partials so the partitioned step reproduces
+the single-device numbers (see losses.partitioned_batch_loss).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
+from p_div_gnn_tpu.losses import partitioned_batch_loss
+from p_div_gnn_tpu.models.epd import Halo
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def partition_batch(
+    batch: GraphBatch, n_shards: int, tile: int = 128
+) -> tuple[GraphBatch, np.ndarray]:
+    """Split a packed (unsharded) GraphBatch into ``n_shards`` node-range
+    shards. Returns (stacked local batches with leading shard axis,
+    halo send_idx (D, H)).
+
+    Edge senders and divergence-operator column nodes are rewritten into
+    each shard's extended address space; padding rows self-loop on the
+    local padding node.
+    """
+    Np = batch.num_nodes_padded
+    per = _round_up((Np + n_shards - 1) // n_shards, tile)
+    Nl = per + tile  # room so the last shard's range + pad node fits
+    offsets = np.arange(n_shards) * per
+
+    pos = np.asarray(batch.pos)
+    senders = np.asarray(batch.senders)
+    receivers = np.asarray(batch.receivers)
+    node_gid = np.asarray(batch.node_gid)
+
+    def owner(nodes: np.ndarray) -> np.ndarray:
+        return np.minimum(nodes // per, n_shards - 1)
+
+    # --- per-shard edge lists (owner of receiver)
+    e_owner = owner(receivers)
+    edge_lists = [np.where(e_owner == d)[0] for d in range(n_shards)]
+    El = _round_up(max(max(len(e) for e in edge_lists), 1), 512)
+
+    # --- div entries: owner of row node
+    div_row = np.asarray(batch.div_row)
+    div_col_node = np.asarray(batch.div_col_node)
+    k_owner = owner(div_row)
+    div_lists = [np.where(k_owner == d)[0] for d in range(n_shards)]
+    Kl = _round_up(max(max(len(k) for k in div_lists), 1), 512)
+
+    # --- ghost sets: per OWNER, union of its nodes needed remotely
+    need: list[set[int]] = [set() for _ in range(n_shards)]
+    for d in range(n_shards):
+        for arr in (senders[edge_lists[d]], div_col_node[div_lists[d]]):
+            remote = arr[owner(arr) != d]
+            for o in np.unique(owner(remote)):
+                sel = remote[owner(remote) == o]
+                need[int(o)].update(np.unique(sel).tolist())
+    send_lists = [np.sort(np.fromiter(s, dtype=np.int64)) for s in need]
+    H = _round_up(max(max((len(s) for s in send_lists), default=1), 1), 8)
+
+    send_idx = np.zeros((n_shards, H), dtype=np.int32)  # local indices
+    slot_of: list[dict[int, int]] = []
+    for o in range(n_shards):
+        sl = send_lists[o]
+        send_idx[o, : len(sl)] = sl - offsets[o]
+        slot_of.append({int(g): i for i, g in enumerate(sl)})
+
+    def ext_addr(global_nodes: np.ndarray, d: int) -> np.ndarray:
+        """Rewrite global node ids into shard d's extended address space."""
+        own = owner(global_nodes)
+        local = global_nodes - offsets[d]
+        out = np.empty(len(global_nodes), dtype=np.int32)
+        mine = own == d
+        out[mine] = local[mine]
+        for o in np.unique(own[~mine]):
+            sel = (own == o) & ~mine
+            out[sel] = Nl + int(o) * H + np.array(
+                [slot_of[int(o)][int(g)] for g in global_nodes[sel]],
+                dtype=np.int32,
+            )
+        return out
+
+    shards = []
+    for d in range(n_shards):
+        lo = offsets[d]
+        hi = max(lo, min(lo + per, Np))  # shards past Np own nothing
+        n_here = hi - lo
+        sl = slice(lo, hi)
+
+        def node_arr(a, fill=0.0):
+            out = np.full((Nl,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:n_here] = a[sl]
+            return out
+
+        l_pos = node_arr(pos)
+        l_gid = np.full(Nl, batch.n_graphs, np.int32)
+        l_gid[:n_here] = node_gid[sl]
+
+        e_idx = edge_lists[d]
+        l_snd = np.full(El, Nl - 1, np.int32)
+        l_rcv = np.full(El, Nl - 1, np.int32)
+        l_ew = np.zeros((El, 1), np.float32)
+        l_eg = np.full(El, batch.n_graphs, np.int32)
+        l_snd[: len(e_idx)] = ext_addr(senders[e_idx], d)
+        l_rcv[: len(e_idx)] = receivers[e_idx] - lo
+        l_ew[: len(e_idx)] = np.asarray(batch.edge_weight)[e_idx]
+        l_eg[: len(e_idx)] = np.asarray(batch.edge_gid)[e_idx]
+        # re-sort local edges by receiver (CSR order for the scatter)
+        order = np.argsort(l_rcv, kind="stable")
+        l_snd, l_rcv, l_ew, l_eg = (
+            l_snd[order], l_rcv[order], l_ew[order], l_eg[order]
+        )
+        n_tiles = Nl // tile
+        l_tp = np.searchsorted(
+            l_rcv, np.arange(0, (n_tiles + 1) * tile, tile)
+        ).astype(np.int32)[: n_tiles + 1]
+
+        k_idx = div_lists[d]
+        l_dd = np.zeros(Kl, np.float32)
+        l_dr = np.full(Kl, Nl - 1, np.int32)
+        l_dc = np.full(Kl, Nl - 1, np.int32)
+        l_dy = np.zeros(Kl, np.int32)
+        l_dd[: len(k_idx)] = np.asarray(batch.div_data)[k_idx]
+        l_dr[: len(k_idx)] = div_row[k_idx] - lo
+        l_dc[: len(k_idx)] = ext_addr(div_col_node[k_idx], d)
+        l_dy[: len(k_idx)] = np.asarray(batch.div_col_is_y)[k_idx]
+
+        # local per-graph counts (psum'd in the loss)
+        counts = np.zeros(batch.n_graphs, np.int32)
+        ids, c = np.unique(l_gid[l_gid < batch.n_graphs], return_counts=True)
+        counts[ids] = c
+
+        shards.append(
+            GraphBatch(
+                pos=l_pos,
+                mean_stress=node_arr(np.asarray(batch.mean_stress)),
+                node_type=node_arr(np.asarray(batch.node_type)),
+                local_stress=node_arr(np.asarray(batch.local_stress)),
+                node_gid=l_gid,
+                senders=l_snd,
+                receivers=l_rcv,
+                edge_weight=l_ew,
+                edge_gid=l_eg,
+                tile_ptr=l_tp,
+                div_data=l_dd,
+                div_row=l_dr,
+                div_col_node=l_dc,
+                div_col_is_y=l_dy,
+                graph_node_count=counts,
+                graph_node_offset=np.zeros(batch.n_graphs, np.int32),
+                n_graphs=batch.n_graphs,
+                tile=tile,
+            )
+        )
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *shards)
+    return stacked, send_idx
+
+
+def make_partitioned_forward(
+    model, stats: NormStats, mesh: Mesh, axis: str = "graph",
+    scale_output: bool = True,
+) -> Callable:
+    """jit'd partitioned forward: (params, stacked_batch, send_idx) →
+    (D, Nl, 3) local predictions."""
+
+    def per_shard(params, local_batch, send_idx):
+        local_batch = jax.tree.map(lambda x: x[0], local_batch)
+        halo = Halo(send_idx=send_idx[0], axis_name=axis)
+        pred = model.apply(
+            params,
+            local_batch,
+            stats,
+            scale_input=True,
+            scale_output=scale_output,
+            axis_name=axis,
+            halo=halo,
+        )
+        return pred[None]
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+
+
+def make_partitioned_train_step(
+    model,
+    stats: NormStats,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    divergence_penalty: float = 0.0,
+    optimize_divergence: bool = False,
+    axis: str = "graph",
+) -> Callable:
+    """Full training step over edge-partitioned graphs: halo-exchanged
+    forward, psum'd partitioned loss, psum'd grads, replicated Adam."""
+
+    def loss_fn(params, local_batch, halo):
+        pred = model.apply(
+            params,
+            local_batch,
+            stats,
+            scale_input=True,
+            scale_output=False,
+            axis_name=axis,
+            halo=halo,
+        )
+        gt = (
+            local_batch.local_stress - stats.mean_local_stress
+        ) / stats.std_local_stress
+        return partitioned_batch_loss(
+            local_batch,
+            pred,
+            gt,
+            halo,
+            axis,
+            divergence_penalty=divergence_penalty,
+            optimize_divergence=optimize_divergence,
+        )
+
+    def per_shard(params, opt_state, local_batch, send_idx):
+        local_batch = jax.tree.map(lambda x: x[0], local_batch)
+        halo = Halo(send_idx=send_idx[0], axis_name=axis)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, local_batch, halo
+        )
+        # Same collective-normalization contract as dp.py: psum transposes
+        # scale the summed partials by D; pmean restores the true gradient.
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["total"] = total
+        return params, opt_state, aux
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def device_put_partitioned(batch, send_idx, mesh: Mesh, axis: str = "graph"):
+    sharding = NamedSharding(mesh, P(axis))
+    put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    return jax.tree.map(put, batch), put(send_idx)

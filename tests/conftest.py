@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU platform via
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var — override it back before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Keep compilation deterministic and fast on CPU.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compile cache — this box has 2 CPUs; recompiles dominate
