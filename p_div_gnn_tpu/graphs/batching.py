@@ -48,6 +48,73 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+EDGE_BLOCK = 512  # Pallas scatter kernel block size (ops/scatter_pallas.py)
+
+
+def blockify_edges(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_weight: np.ndarray,
+    edge_gid: np.ndarray,
+    num_nodes: int,
+    n_graphs: int,
+    tile: int = 128,
+    edge_block: int = EDGE_BLOCK,
+    min_capacity: int = 0,
+) -> tuple[np.ndarray, ...]:
+    """Re-lay receiver-sorted edges into a block-aligned CSR layout.
+
+    Every ``tile``-node range's edge run is padded to a multiple of
+    ``edge_block`` (at least one block, so every output tile is covered by
+    the scatter kernel's grid), and a per-block tile index is emitted. The
+    dummy edges point a padding sender at the tile's base node; their
+    messages are exactly zero downstream (masked edge-LN zeroes padded
+    rows), so they are no-ops in the scatter.
+
+    Returns (senders, receivers, edge_weight, edge_gid, tile_ptr,
+    edge_block_tile).
+    """
+    assert num_nodes % tile == 0
+    n_tiles = num_nodes // tile
+    counts = np.bincount(
+        np.minimum(receivers // tile, n_tiles - 1), minlength=n_tiles
+    )
+    cap = np.maximum(((counts + edge_block - 1) // edge_block), 1) * edge_block
+    total = int(cap.sum())
+    if min_capacity and total < min_capacity:
+        cap[-1] += min_capacity - total  # whole extra blocks on the last tile
+        total = min_capacity
+    starts = np.concatenate([[0], np.cumsum(cap)])[:-1]
+
+    E = len(senders)
+    o_snd = np.full(total, num_nodes - 1, senders.dtype)
+    o_rcv = np.empty(total, receivers.dtype)
+    o_ew = np.zeros((total,) + edge_weight.shape[1:], edge_weight.dtype)
+    o_eg = np.full(total, n_graphs, edge_gid.dtype)
+    # default receivers: each tile's LAST node — keeps the global receiver
+    # array sorted (real receivers in tile t are ≤ t·tile+tile−1), so the
+    # XLA path can still use indices_are_sorted=True. Contributions are
+    # zero regardless (masked messages).
+    for t in range(n_tiles):
+        o_rcv[starts[t] : starts[t] + cap[t]] = t * tile + (tile - 1)
+    # place real edges at their tile's block start (they are contiguous in
+    # the receiver-sorted input)
+    in_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    for t in range(n_tiles):
+        c = counts[t]
+        if c:
+            s_in, s_out = in_starts[t], starts[t]
+            o_snd[s_out : s_out + c] = senders[s_in : s_in + c]
+            o_rcv[s_out : s_out + c] = receivers[s_in : s_in + c]
+            o_ew[s_out : s_out + c] = edge_weight[s_in : s_in + c]
+            o_eg[s_out : s_out + c] = edge_gid[s_in : s_in + c]
+    tile_ptr = np.concatenate([starts, [total]]).astype(np.int32)
+    edge_block_tile = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), cap // edge_block
+    )
+    return o_snd, o_rcv, o_ew, o_eg, tile_ptr, edge_block_tile
+
+
 def _bucket(x: int, m: int, buckets: tuple[int, ...] | None) -> int:
     x = _round_up(x, m)
     if buckets:
@@ -146,15 +213,27 @@ def pack_batch(
         k_off += int(keep.sum())
 
     # CSR-sort edges by receiver (stable keeps canonical (s,r) order within
-    # a receiver). Padding edges (receiver Np-1) sort to the end.
-    order = np.argsort(receivers, kind="stable")
-    senders, receivers = senders[order], receivers[order]
-    edge_weight, edge_gid = edge_weight[order], edge_gid[order]
-
-    n_tiles = Np // tile if Np % tile == 0 else Np // tile + 1
-    tile_ptr = np.searchsorted(
-        receivers, np.arange(0, (n_tiles + 1) * tile, tile)
-    ).astype(np.int32)[: n_tiles + 1]
+    # a receiver), then re-lay into the block-aligned layout the Pallas
+    # scatter kernel consumes (per-tile ranges padded to EDGE_BLOCK).
+    real = e_off
+    order = np.argsort(receivers[:real], kind="stable")
+    (
+        senders,
+        receivers,
+        edge_weight,
+        edge_gid,
+        tile_ptr,
+        edge_block_tile,
+    ) = blockify_edges(
+        senders[:real][order],
+        receivers[:real][order],
+        edge_weight[:real][order],
+        edge_gid[:real][order],
+        num_nodes=Np,
+        n_graphs=G,
+        tile=tile,
+        min_capacity=Ep,
+    )
 
     return GraphBatch(
         pos=pos,
@@ -167,6 +246,7 @@ def pack_batch(
         edge_weight=edge_weight,
         edge_gid=edge_gid,
         tile_ptr=tile_ptr,
+        edge_block_tile=edge_block_tile,
         div_data=div_data,
         div_row=div_row,
         div_col_node=div_col_node,

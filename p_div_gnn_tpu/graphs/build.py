@@ -86,6 +86,11 @@ def faces_to_edge_index(faces: np.ndarray, num_nodes: int) -> np.ndarray:
         pair_slots = [(0, 1), (1, 2), (2, 3), (3, 0)]
     else:
         raise ValueError(f"unsupported cell arity {k}")
+    from p_div_gnn_tpu.graphs import native
+
+    fast = native.faces_to_edge_index(faces, num_nodes)
+    if fast is not None:
+        return fast
     src = np.concatenate([faces[:, a] for a, _ in pair_slots])
     dst = np.concatenate([faces[:, b] for _, b in pair_slots])
     senders = np.concatenate([src, dst])

@@ -41,6 +41,8 @@ class GraphBatch(flax.struct.PyTreeNode):
     edge_weight: Array  # (Ep, 1) f32  (0 on periodic + padding edges)
     edge_gid: Array  # (Ep,) i32  == n_graphs for padding
     tile_ptr: Array  # (Np // tile + 1,) i32  CSR offsets per node tile
+    # (block-aligned: every tile's range is a multiple of EDGE_BLOCK)
+    edge_block_tile: Array  # (Ep // EDGE_BLOCK,) i32  node tile per block
 
     # --- divergence operator, padded COO (capacity Kp)
     div_data: Array  # (Kp,) f32  (0 for padding entries)

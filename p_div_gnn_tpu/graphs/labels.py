@@ -66,6 +66,12 @@ def _connected_components(edges: np.ndarray, num_nodes: int) -> np.ndarray:
 def compute_node_labels(mesh: SurfaceMesh) -> np.ndarray:
     """Label each node per NodeType; asserts exactly 2 boundary regions
     (plate outline + hole), as the reference does (`datasets.py:153-156`)."""
+    from p_div_gnn_tpu.graphs import native
+
+    fast = native.compute_node_labels(mesh.faces, mesh.points[:, :2])
+    if fast is not None:
+        return fast
+
     b_edges = boundary_edges(mesh.faces)
     comp = _connected_components(b_edges, mesh.n_points)
     region_ids = [r for r in np.unique(comp) if r >= 0]

@@ -26,6 +26,12 @@ def periodic_boundary_pairs(points_2d: np.ndarray) -> tuple[np.ndarray, np.ndarr
     lexsort with y as the primary key and x secondary (`datasets.py:49-63`),
     which orders left/right sides by y and lower/upper sides by x.
     """
+    from p_div_gnn_tpu.graphs import native
+
+    fast = native.periodic_pairs(points_2d)
+    if fast is not None:
+        return fast
+
     min_x, min_y = points_2d.min(axis=0)
     max_x, max_y = points_2d.max(axis=0)
     idx = np.arange(len(points_2d))

@@ -129,7 +129,7 @@ class Processor(nn.Module):
             messages,
             rcv,
             x.shape[0],
-            tile_ptr=batch.tile_ptr,
+            block_tile=batch.edge_block_tile,
             impl=self.scatter_impl,
         )
         n_a = self.param("node_w_a", torch_linear_kernel_init, (L, L))
@@ -162,6 +162,11 @@ class EncodeProcessDecode(nn.Module):
     input_edges_features_size: int = 1
     output_nodes_features_size: int = 3
     scatter_impl: str = "xla"
+    # lax.scan over the weight-tied processor keeps the compiled program a
+    # single step long (the reference re-applies ONE Processor instance,
+    # models.py:313-314, so scanning is semantically identical); unrolling
+    # is available for XLA to fuse across steps when compile time is cheap.
+    unroll_steps: bool = False
 
     def format_node_features(
         self, batch: GraphBatch, stats: NormStats, scale_input: bool
@@ -205,8 +210,20 @@ class EncodeProcessDecode(nn.Module):
         processor = Processor(
             self.latent_size, scatter_impl=self.scatter_impl, name="processor"
         )
-        for _ in range(self.message_passing_steps):
-            x, e = processor(x, e, batch, axis_name, halo)
+        if self.unroll_steps:
+            for _ in range(self.message_passing_steps):
+                x, e = processor(x, e, batch, axis_name, halo)
+        else:
+            scan_proc = nn.scan(
+                lambda mdl, carry, _: (
+                    mdl(carry[0], carry[1], batch, axis_name, halo),
+                    None,
+                ),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=self.message_passing_steps,
+            )
+            (x, e), _ = scan_proc(processor, (x, e), None)
 
         decoded = MLPBlock(
             self.latent_size,

@@ -19,7 +19,7 @@ def scatter_add(
     messages: jax.Array,
     receivers: jax.Array,
     num_nodes: int,
-    tile_ptr: jax.Array | None = None,
+    block_tile: jax.Array | None = None,
     impl: str = "xla",
 ) -> jax.Array:
     if impl == "xla":
@@ -27,6 +27,6 @@ def scatter_add(
     if impl == "pallas":
         from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
 
-        assert tile_ptr is not None, "pallas scatter needs tile_ptr"
-        return pallas_segment_sum(messages, receivers, tile_ptr, num_nodes)
+        assert block_tile is not None, "pallas scatter needs edge_block_tile"
+        return pallas_segment_sum(messages, receivers, block_tile, num_nodes)
     raise ValueError(f"unknown scatter impl {impl!r}")

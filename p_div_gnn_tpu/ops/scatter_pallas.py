@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: block-aligned CSR segment-sum (edge→node scatter-add)
+via MXU one-hot contraction.
+
+The hot aggregation op of the model (reference counterpart: PyG's CUDA
+scatter-add, `models.py:191,215-217`).
+
+Contract (produced by graphs/batching.blockify_edges):
+- ``messages`` (Ep, L) sorted by receiver, with every 128-node tile's edge
+  run padded to a multiple of EDGE_BLOCK (padding messages are exactly zero
+  downstream of the masked edge-LN, so they are no-ops);
+- ``block_tile`` (Ep / EDGE_BLOCK,) — the node tile each block feeds.
+
+Design (TPU-first):
+- 1-D grid over edge blocks; the scalar-prefetched ``block_tile`` drives the
+  OUTPUT BlockSpec index map, so consecutive blocks of the same node tile
+  revisit one VMEM output buffer (zeroed on first visit, accumulated after);
+  the Pallas pipeline double-buffers the streamed message/receiver blocks
+  automatically;
+- the scatter itself is an MXU contraction: a (EB, 128) one-hot of local
+  receiver ids (VPU iota-compare) contracted against the (EB, L) message
+  block in fp32 — scatter-as-matmul keeps the reduction on the systolic
+  array instead of scalar stores.
+
+Backward: d(messages) = cotangent gathered at receivers (transpose of
+scatter is gather), via XLA's native gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EDGE_BLOCK = 512
+NODE_TILE = 128
+
+
+def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref):
+    b = pl.program_id(0)
+    tile = block_tile_ref[b]
+    prev = block_tile_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, tile != prev)
+
+    base = tile * NODE_TILE
+    rcv_local = rcv_ref[:, :] - base  # (EB, 1)
+    col_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+    )
+    onehot = (col_ids == rcv_local).astype(jnp.float32)
+    # HIGHEST precision: the one-hot is exact in bf16, but the messages
+    # must not be rounded — default MXU precision loses ~1e-3 per element.
+    contrib = jax.lax.dot_general(
+        onehot,
+        msg_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_segment_sum(
+    messages: jax.Array,
+    receivers: jax.Array,
+    block_tile: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """Scatter-add ``messages`` into ``num_nodes`` rows by ``receivers``."""
+    return _forward(messages, receivers, block_tile, num_nodes)
+
+
+def _forward(messages, receivers, block_tile, num_nodes):
+    Ep, L = messages.shape
+    assert num_nodes % NODE_TILE == 0, "num_nodes must be a tile multiple"
+    assert Ep % EDGE_BLOCK == 0, "edge capacity must be EDGE_BLOCK-aligned"
+    n_blocks = Ep // EDGE_BLOCK
+    # (EB, 1) receiver blocks: sublane dim EB is 8-aligned and the lane dim
+    # equals the full array dim, satisfying the TPU BlockSpec tiling rules.
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (EDGE_BLOCK, 1), lambda b, bt: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NODE_TILE, L), lambda b, bt: (bt[b], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Ep * NODE_TILE * L,
+            bytes_accessed=Ep * L * 4 + Ep * 4 + num_nodes * L * 4,
+            transcendentals=0,
+        ),
+    )(block_tile.astype(jnp.int32), messages.astype(jnp.float32), rcv2d)
+
+
+def _fwd(messages, receivers, block_tile, num_nodes):
+    out = _forward(messages, receivers, block_tile, num_nodes)
+    return out, receivers
+
+
+def _bwd(num_nodes, receivers, g):
+    # transpose of scatter-add is gather
+    return jnp.take(g, receivers, axis=0), None, None
+
+
+pallas_segment_sum.defvjp(_fwd, _bwd)

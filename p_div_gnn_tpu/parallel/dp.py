@@ -62,17 +62,24 @@ def pack_sharded_batch(
         ((max(sum(s.num_div_entries for s in sh), 1) + 511) // 512) * 512
         for sh in shards
     )
-    packed = [
-        pack_batch(
-            sh,
-            n_graphs=gps,
-            pad_nodes=pad_nodes,
-            pad_edges=pad_edges,
-            pad_div=pad_div,
-            tile=tile,
-        )
-        for sh in shards
-    ]
+    def pack_all(edge_cap):
+        return [
+            pack_batch(
+                sh,
+                n_graphs=gps,
+                pad_nodes=pad_nodes,
+                pad_edges=edge_cap,
+                pad_div=pad_div,
+                tile=tile,
+            )
+            for sh in shards
+        ]
+
+    packed = pack_all(pad_edges)
+    # block alignment can grow edge capacity per shard; equalize
+    caps = {b.num_edges_padded for b in packed}
+    if len(caps) > 1:
+        packed = pack_all(max(caps))
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *packed)
     return stacked
 

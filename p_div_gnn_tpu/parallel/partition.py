@@ -62,9 +62,23 @@ def partition_batch(
         return np.minimum(nodes // per, n_shards - 1)
 
     # --- per-shard edge lists (owner of receiver)
+    from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
+
     e_owner = owner(receivers)
     edge_lists = [np.where(e_owner == d)[0] for d in range(n_shards)]
-    El = _round_up(max(max(len(e) for e in edge_lists), 1), 512)
+    # uniform local edge capacity across shards AFTER block alignment
+    n_tiles_l = (per + tile) // tile  # == Nl // tile
+    El = 0
+    for d in range(n_shards):
+        l_rcv = receivers[edge_lists[d]] - offsets[d]
+        counts = np.bincount(
+            np.minimum(l_rcv // tile, n_tiles_l - 1), minlength=n_tiles_l
+        )
+        tot = int(
+            (np.maximum((counts + EDGE_BLOCK - 1) // EDGE_BLOCK, 1)
+             * EDGE_BLOCK).sum()
+        )
+        El = max(El, tot)
 
     # --- div entries: owner of row node
     div_row = np.asarray(batch.div_row)
@@ -123,23 +137,25 @@ def partition_batch(
         l_gid[:n_here] = node_gid[sl]
 
         e_idx = edge_lists[d]
-        l_snd = np.full(El, Nl - 1, np.int32)
-        l_rcv = np.full(El, Nl - 1, np.int32)
-        l_ew = np.zeros((El, 1), np.float32)
-        l_eg = np.full(El, batch.n_graphs, np.int32)
-        l_snd[: len(e_idx)] = ext_addr(senders[e_idx], d)
-        l_rcv[: len(e_idx)] = receivers[e_idx] - lo
-        l_ew[: len(e_idx)] = np.asarray(batch.edge_weight)[e_idx]
-        l_eg[: len(e_idx)] = np.asarray(batch.edge_gid)[e_idx]
-        # re-sort local edges by receiver (CSR order for the scatter)
-        order = np.argsort(l_rcv, kind="stable")
-        l_snd, l_rcv, l_ew, l_eg = (
-            l_snd[order], l_rcv[order], l_ew[order], l_eg[order]
+        raw_snd = ext_addr(senders[e_idx], d) if len(e_idx) else np.zeros(
+            0, np.int32
         )
-        n_tiles = Nl // tile
-        l_tp = np.searchsorted(
-            l_rcv, np.arange(0, (n_tiles + 1) * tile, tile)
-        ).astype(np.int32)[: n_tiles + 1]
+        raw_rcv = (receivers[e_idx] - lo).astype(np.int32)
+        raw_ew = np.asarray(batch.edge_weight)[e_idx]
+        raw_eg = np.asarray(batch.edge_gid)[e_idx]
+        order = np.argsort(raw_rcv, kind="stable")
+        from p_div_gnn_tpu.graphs.batching import blockify_edges
+
+        l_snd, l_rcv, l_ew, l_eg, l_tp, l_bt = blockify_edges(
+            raw_snd[order].astype(np.int32),
+            raw_rcv[order],
+            raw_ew[order],
+            raw_eg[order],
+            num_nodes=Nl,
+            n_graphs=batch.n_graphs,
+            tile=tile,
+            min_capacity=El,
+        )
 
         k_idx = div_lists[d]
         l_dd = np.zeros(Kl, np.float32)
@@ -168,6 +184,7 @@ def partition_batch(
                 edge_weight=l_ew,
                 edge_gid=l_eg,
                 tile_ptr=l_tp,
+                edge_block_tile=l_bt,
                 div_data=l_dd,
                 div_row=l_dr,
                 div_col_node=l_dc,

@@ -188,17 +188,23 @@ def test_pack_batch_shapes_and_masks():
     assert nm.sum() == sum(s.num_nodes for s in samples)
     em = np.asarray(batch.edge_mask)
     assert em.sum() == sum(s.num_edges for s in samples)
-    # padding edges self-loop on the last (padding) node
+    # padding edges send from the padding node (messages masked to zero)
     pad_e = ~em
     assert np.all(np.asarray(batch.senders)[pad_e] == Np - 1)
-    assert np.all(np.asarray(batch.receivers)[pad_e] == Np - 1)
-    # edges sorted by receiver; tile_ptr consistent
+    # edges sorted by receiver; tile_ptr consistent and EDGE_BLOCK-aligned
     rcv = np.asarray(batch.receivers)
     assert np.all(np.diff(rcv) >= 0)
     tp = np.asarray(batch.tile_ptr)
+    assert np.all(tp % 512 == 0)
     for t in range(len(tp) - 1):
         seg = rcv[tp[t] : tp[t + 1]]
         assert np.all((seg >= t * 128) & (seg < (t + 1) * 128))
+        assert (tp[t + 1] - tp[t]) >= 512  # every tile covered by >=1 block
+    # block→tile map consistent with tile_ptr
+    bt = np.asarray(batch.edge_block_tile)
+    assert len(bt) == batch.num_edges_padded // 512
+    for b, t in enumerate(bt):
+        assert tp[t] <= b * 512 < tp[t + 1]
     # graph ids contiguous
     gid = np.asarray(batch.node_gid)
     counts = np.asarray(batch.graph_node_count)
