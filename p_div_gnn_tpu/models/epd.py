@@ -167,6 +167,11 @@ class EncodeProcessDecode(nn.Module):
     # models.py:313-314, so scanning is semantically identical); unrolling
     # is available for XLA to fuse across steps when compile time is cheap.
     unroll_steps: bool = False
+    # rematerialize each message-passing step in the backward pass: only the
+    # (x, e) carries are saved per step instead of every edge-MLP
+    # intermediate (~6x less HBM for activations at ~1.3x step FLOPs) —
+    # without it a 40k-node batch-16 training step overflows 16G HBM.
+    remat_steps: bool = True
 
     def format_node_features(
         self, batch: GraphBatch, stats: NormStats, scale_input: bool
@@ -214,11 +219,13 @@ class EncodeProcessDecode(nn.Module):
             for _ in range(self.message_passing_steps):
                 x, e = processor(x, e, batch, axis_name, halo)
         else:
+            def body(mdl, carry, _):
+                return mdl(carry[0], carry[1], batch, axis_name, halo), None
+
+            if self.remat_steps:
+                body = nn.remat(body, prevent_cse=False)
             scan_proc = nn.scan(
-                lambda mdl, carry, _: (
-                    mdl(carry[0], carry[1], batch, axis_name, halo),
-                    None,
-                ),
+                body,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 length=self.message_passing_steps,
