@@ -65,6 +65,7 @@ def run_experience(
     monitor_divergence_in_test: bool = False,
     config_path: Path | str = Path(""),
     scatter_impl: str = "xla",
+    data_parallel: bool = False,
     **_ignored: Any,
 ) -> tuple[list[float], list[float]]:
     random.seed(SEED)
@@ -101,6 +102,22 @@ def run_experience(
         output_nodes_features_size=3,
         scatter_impl=scatter_impl,
     )
+    if data_parallel and len(jax.devices()) > 1:
+        return _run_data_parallel(
+            model=model,
+            train_ds=train_ds,
+            test_ds=test_ds,
+            results=results,
+            epochs=epochs,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            divergence=divergence,
+            divergence_penalty=divergence_penalty,
+            early_stopping_limit=early_stopping_limit,
+            train_all_epochs=train_all_epochs,
+            config_path=config_path,
+            rng=rng,
+        )
     trainer = Trainer(
         model=model,
         stats=train_ds.stats,  # TRAIN-set stats (`gnn_train.py:397-411`)
@@ -124,6 +141,61 @@ def run_experience(
             f"Divergence lambda = {divergence_penalty}; "
             f"Early stopping limit = {early_stopping_limit};",
         )
+        _, _, train_losses, test_losses = trainer.fit(
+            params,
+            opt_state,
+            train_loader,
+            test_loader,
+            epochs=epochs,
+            weights_folder=results / "weights",
+            writer=writer,
+            early_stopping_limit=early_stopping_limit,
+            train_all_epochs=train_all_epochs,
+        )
+    return train_losses, test_losses
+
+
+def _run_data_parallel(
+    model,
+    train_ds,
+    test_ds,
+    results: Path,
+    epochs: int,
+    batch_size: int,
+    learning_rate: float,
+    divergence: bool,
+    divergence_penalty: float,
+    early_stopping_limit: int,
+    train_all_epochs: bool,
+    config_path,
+    rng,
+) -> tuple[list[float], list[float]]:
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from p_div_gnn_tpu.train.dp_loop import DPGraphLoader, DPTrainer
+
+    mesh = Mesh(_np.array(jax.devices()), ("data",))
+    print(f"Data-parallel training over {mesh.devices.size} devices")
+    train_loader = DPGraphLoader(
+        train_ds.samples, batch_size, mesh, shuffle=True, seed=SEED
+    )
+    test_loader = DPGraphLoader(test_ds.samples, batch_size, mesh)
+    trainer = DPTrainer(
+        model=model,
+        stats=train_ds.stats,
+        mesh=mesh,
+        learning_rate=learning_rate,
+        divergence_penalty=divergence_penalty,
+        optimize_divergence=divergence,
+    )
+    first = next(iter(test_loader))
+    params, opt_state = trainer.init(rng, first)
+    print(f"EncodeProcessDecode params: {count_params(params)}")
+    if str(config_path):
+        results.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(config_path, results / Path(config_path).name)
+    with MetricsWriter(results / "train_logs") as writer:
         _, _, train_losses, test_losses = trainer.fit(
             params,
             opt_state,

@@ -26,29 +26,14 @@ def _blocked_case(seed, N=512, E=3000, L=128):
 
 
 def _interpret_pallas(msg, rcv, block_tile, N):
-    # run the pallas kernel in interpreter mode (no TPU in CI)
-    import functools
-    from jax.experimental import pallas as pl
+    # run the production kernel in interpreter mode (no TPU in CI)
     from jax.experimental.pallas import tpu as pltpu
 
-    Ep, L = msg.shape
-    n_blocks = Ep // sp.EDGE_BLOCK
-    rcv2d = jnp.asarray(rcv, jnp.int32).reshape(n_blocks, sp.EDGE_BLOCK)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((sp.EDGE_BLOCK, L), lambda b, bt: (b, 0)),
-            pl.BlockSpec((1, sp.EDGE_BLOCK), lambda b, bt: (b, 0)),
-        ],
-        out_specs=pl.BlockSpec((sp.NODE_TILE, L), lambda b, bt: (bt[b], 0)),
-    )
-    return pl.pallas_call(
-        sp._kernel,
-        out_shape=jax.ShapeDtypeStruct((N, L), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=True,
-    )(jnp.asarray(block_tile, jnp.int32), jnp.asarray(msg), rcv2d)
+    with pltpu.force_tpu_interpret_mode():
+        return sp.pallas_segment_sum(
+            jnp.asarray(msg), jnp.asarray(rcv),
+            jnp.asarray(block_tile, jnp.int32), N,
+        )
 
 
 def test_pallas_kernel_matches_xla_interpret():
