@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EDGE_BLOCK = 512
+from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK  # single source of truth
+
 NODE_TILE = 128
 
 

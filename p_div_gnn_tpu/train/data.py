@@ -29,6 +29,8 @@ class GraphLoader:
         shuffle: bool = False,
         seed: int = 0,
         tile: int = 128,
+        edges_per_node: int = 8,
+        div_per_node: int = 16,
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -36,11 +38,31 @@ class GraphLoader:
         self.rng = np.random.default_rng(seed)
         self.tile = tile
         self.node_buckets = default_node_buckets()
-        self.edge_buckets = tuple(8 * b for b in default_node_buckets())
-        self._div_buckets = tuple(4 * b for b in default_node_buckets())
+        # Edge/div capacities are TIED to the node bucket, so the number of
+        # distinct compiled programs is bounded by the node-bucket count
+        # alone (mesh-graph density is bounded: ~5.4 edges and ~12.5 div
+        # entries per node, plus block-alignment overhead).
+        self.edges_per_node = edges_per_node
+        self.div_per_node = div_per_node
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
+
+    def _capacities(self, batch_samples) -> tuple[int, int, int]:
+        tot_nodes = sum(s.num_nodes for s in batch_samples) + 1
+        from p_div_gnn_tpu.graphs.batching import _bucket
+
+        pad_nodes = _bucket(tot_nodes, self.tile, self.node_buckets)
+        pad_edges = self.edges_per_node * pad_nodes
+        pad_div = self.div_per_node * pad_nodes
+        # safety: densities above the cap fall back to content-driven pads
+        tot_edges = sum(s.num_edges for s in batch_samples)
+        tot_div = sum(s.num_div_entries for s in batch_samples)
+        if tot_edges > pad_edges:
+            pad_edges = ((tot_edges + 4095) // 4096) * 4096
+        if tot_div > pad_div:
+            pad_div = ((tot_div + 4095) // 4096) * 4096
+        return pad_nodes, pad_edges, pad_div
 
     def __iter__(self) -> Iterator[GraphBatch]:
         order = np.arange(len(self.samples))
@@ -49,10 +71,12 @@ class GraphLoader:
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             batch_samples = [self.samples[i] for i in idx]
+            pad_nodes, pad_edges, pad_div = self._capacities(batch_samples)
             yield pack_batch(
                 batch_samples,
                 n_graphs=self.batch_size,
                 tile=self.tile,
-                node_buckets=self.node_buckets,
-                edge_buckets=self.edge_buckets,
+                pad_nodes=pad_nodes,
+                pad_edges=pad_edges,
+                pad_div=pad_div,
             )

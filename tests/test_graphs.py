@@ -195,16 +195,17 @@ def test_pack_batch_shapes_and_masks():
     rcv = np.asarray(batch.receivers)
     assert np.all(np.diff(rcv) >= 0)
     tp = np.asarray(batch.tile_ptr)
-    assert np.all(tp % 512 == 0)
+    from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
+    assert np.all(tp % EDGE_BLOCK == 0)
     for t in range(len(tp) - 1):
         seg = rcv[tp[t] : tp[t + 1]]
         assert np.all((seg >= t * 128) & (seg < (t + 1) * 128))
-        assert (tp[t + 1] - tp[t]) >= 512  # every tile covered by >=1 block
+        assert (tp[t + 1] - tp[t]) >= EDGE_BLOCK  # every tile covered
     # block→tile map consistent with tile_ptr
     bt = np.asarray(batch.edge_block_tile)
-    assert len(bt) == batch.num_edges_padded // 512
+    assert len(bt) == batch.num_edges_padded // EDGE_BLOCK
     for b, t in enumerate(bt):
-        assert tp[t] <= b * 512 < tp[t + 1]
+        assert tp[t] <= b * EDGE_BLOCK < tp[t + 1]
     # graph ids contiguous
     gid = np.asarray(batch.node_gid)
     counts = np.asarray(batch.graph_node_count)
