@@ -26,7 +26,10 @@ import numpy as np
 import pandas as pd
 
 from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh, is_periodic_mesh
-from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix
+from p_div_gnn_tpu.datagen.opdiv import (
+    compute_op_div_matrix,
+    compute_op_mean_stress,
+)
 from p_div_gnn_tpu.graphs.labels import compute_node_labels
 from p_div_gnn_tpu.graphs.meshio import write_vtk
 
@@ -177,8 +180,7 @@ def generate_one_sample(args) -> pd.DataFrame | None:
         op_div_matrix_col_indices=op_div.col,
         op_div_matrix_row_indices=op_div.row,
         op_div_matrix_shape=np.array(op_div.shape),
-        op_mean_stress=np.zeros(0),  # see _compute_mean_stress_operator;
-        # consumed nowhere downstream in the reference pipeline
+        op_mean_stress=compute_op_mean_stress(pts, mesh.faces),
         node_labels=node_labels,
     )
     params = DatasetParameters(

@@ -45,3 +45,16 @@ def compute_op_div_matrix(
     ).tocsr()
     g2n = gausspoint_to_node_matrix(points2d, tris)
     return (g2n @ Bdiv).tocoo()
+
+
+def compute_op_mean_stress(points2d: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Mean-over-bounding-box operator (reference
+    `_compute_mean_stress_operator`, generate_dataset.py:73-82): a (N,)
+    weight vector w with ``w·f = ∫f dV / V_box`` for a nodal field f,
+    using the same nodal quadrature as the field integrals."""
+    n = len(points2d)
+    _, areas = triangle_geometry(points2d, tris)
+    w = np.zeros(n)
+    np.add.at(w, tris.ravel(), np.repeat(areas / 3.0, 3))
+    box = points2d.max(0) - points2d.min(0)
+    return w / float(box[0] * box[1])

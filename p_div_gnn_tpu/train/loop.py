@@ -112,15 +112,19 @@ class Trainer:
         early_stopping_limit: int = 10,
         train_all_epochs: bool = False,
         verbose: bool = True,
+        start_epoch: int = 0,
     ) -> tuple[Any, Any, list[float], list[float]]:
+        """Train. ``start_epoch > 0`` resumes into an EXISTING weights
+        folder (fresh runs fail fast on an existing folder, like the
+        reference's mkdir(exist_ok=False), `gnn_train.py:113`)."""
         weights_folder = Path(weights_folder)
-        weights_folder.mkdir(parents=True, exist_ok=False)
+        weights_folder.mkdir(parents=True, exist_ok=start_epoch > 0)
         best_loss = sys.float_info.max
         train_losses: list[float] = []
         test_losses: list[float] = []
         early_stopping_counter = 0
-        epoch = 0
-        for epoch in range(epochs):
+        epoch = start_epoch
+        for epoch in range(start_epoch, epochs):
             if (
                 not train_all_epochs
                 and early_stopping_counter >= early_stopping_limit

@@ -66,6 +66,7 @@ def run_experience(
     config_path: Path | str = Path(""),
     scatter_impl: str = "xla",
     data_parallel: bool = False,
+    resume: bool = False,
     **_ignored: Any,
 ) -> tuple[list[float], list[float]]:
     random.seed(SEED)
@@ -130,6 +131,18 @@ def run_experience(
     params, opt_state = trainer.init(rng, first_batch)
     print(f"EncodeProcessDecode params: {count_params(params)}")
 
+    start_epoch = 0
+    if resume:
+        from p_div_gnn_tpu.train.checkpoint import LAST_CHECKPOINT, load_checkpoint
+
+        ckpt_path = results / "weights" / LAST_CHECKPOINT
+        if ckpt_path.exists():
+            params, opt_state, start_epoch, restored_stats = load_checkpoint(
+                ckpt_path, params, opt_state
+            )
+            trainer.stats = restored_stats
+            print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
     if str(config_path):
         results.mkdir(parents=True, exist_ok=True)
         shutil.copyfile(config_path, results / Path(config_path).name)
@@ -151,6 +164,7 @@ def run_experience(
             writer=writer,
             early_stopping_limit=early_stopping_limit,
             train_all_epochs=train_all_epochs,
+            start_epoch=start_epoch,
         )
     return train_losses, test_losses
 
