@@ -9,6 +9,8 @@ distinct compiled programs stays small across epochs.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -31,12 +33,21 @@ class GraphLoader:
         tile: int = 128,
         edges_per_node: int = 8,
         div_per_node: int = 16,
+        cache_device_batches: bool | None = None,
     ):
         self.samples = samples
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.tile = tile
+        # Deterministic loaders (eval) re-produce identical batches every
+        # epoch; cache them device-resident so the host→device transfer
+        # happens once per run instead of once per epoch.
+        self.cache_device_batches = (
+            (not shuffle) if cache_device_batches is None
+            else cache_device_batches
+        )
+        self._device_cache: list[GraphBatch] | None = None
         self.node_buckets = default_node_buckets()
         # Edge/div capacities are TIED to the node bucket, so the number of
         # distinct compiled programs is bounded by the node-bucket count
@@ -65,14 +76,18 @@ class GraphLoader:
         return pad_nodes, pad_edges, pad_div
 
     def __iter__(self) -> Iterator[GraphBatch]:
+        if self.cache_device_batches and self._device_cache is not None:
+            yield from self._device_cache
+            return
         order = np.arange(len(self.samples))
         if self.shuffle:
             self.rng.shuffle(order)
+        batches = []
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             batch_samples = [self.samples[i] for i in idx]
             pad_nodes, pad_edges, pad_div = self._capacities(batch_samples)
-            yield pack_batch(
+            batch = pack_batch(
                 batch_samples,
                 n_graphs=self.batch_size,
                 tile=self.tile,
@@ -80,3 +95,37 @@ class GraphLoader:
                 pad_edges=pad_edges,
                 pad_div=pad_div,
             )
+            if self.cache_device_batches:
+                import jax
+
+                batch = jax.tree.map(jax.device_put, batch)
+                batches.append(batch)
+            yield batch
+        if self.cache_device_batches:
+            self._device_cache = batches
+
+
+def prefetch(loader, depth: int = 2) -> Iterator[GraphBatch]:
+    """Overlap host packing + host→device transfer with device compute by
+    producing batches on a background thread (depth-bounded queue). The
+    device-side transfer is issued from the worker via jax.device_put, so
+    steps dequeue already-resident arrays."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for batch in loader:
+                q.put(jax.tree.map(jax.device_put, batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -134,7 +134,9 @@ class Trainer:
                 break
             tr_nmse = tr_div = tr_total = 0.0
             n_tr = 0
-            for batch in train_loader:
+            from p_div_gnn_tpu.train.data import prefetch
+
+            for batch in prefetch(train_loader):
                 params, opt_state, aux = self._train_step(
                     params, opt_state, batch
                 )
