@@ -43,6 +43,40 @@ class TorchDense(nn.Module):
         return jnp.dot(x, kernel, precision=matmul_precision()) + bias
 
 
+class DenseParams(nn.Module):
+    """Parameter-only Dense declaration (same tree layout as TorchDense:
+    <name>/{kernel,bias}); lets kernels consume the raw arrays while the
+    unfused path computes the dot itself."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (self.in_features, self.features)
+        )
+        bound = 1.0 / jnp.sqrt(self.in_features)
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,),
+        )
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """Parameter-only graph-LN declaration (<name>/{weight,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return weight, bias
+
+
 class GraphLayerNorm(nn.Module):
     """PyG graph-mode LayerNorm (whole-tensor stats), mask-aware.
 

@@ -36,11 +36,14 @@ import jax.numpy as jnp
 
 from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
 from p_div_gnn_tpu.models.blocks import (
+    DenseParams,
     GraphLayerNorm,
+    LayerNormParams,
     MLPBlock,
     TorchDense,
     torch_linear_kernel_init,
 )
+from p_div_gnn_tpu.ops.layernorm import masked_graph_layernorm
 from p_div_gnn_tpu.ops.scatter import scatter_add
 from p_div_gnn_tpu.utils.precision import matmul_precision
 
@@ -87,18 +90,20 @@ class Processor(nn.Module):
         L = self.latent_size
 
         # edge_net first linear, decomposed over concat slots [u, v, e]:
-        # rows 0:L ← u (first concat slot), L:2L ← v, 2L:3L ← e.
-        w_u = self.param("edge_w_u", torch_linear_kernel_init, (L, L))
-        w_v = self.param("edge_w_v", torch_linear_kernel_init, (L, L))
-        w_e = self.param("edge_w_e", torch_linear_kernel_init, (L, L))
+        # rows 0:L ← u (first concat slot), L:2L ← v, 2L:3L ← e. Init bounds
+        # use the CONCAT fan-in (3L), matching torch's kaiming_uniform on
+        # the full (3L, L) weight — per-slot fan-in would make first-layer
+        # activations 3x too hot and stall training.
         bound = 1.0 / jnp.sqrt(3 * L)
-        edge_b0 = self.param(
-            "edge_b0",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
-            (L,),
+        slot_init = lambda k, s: jax.random.uniform(
+            k, s, jnp.float32, -bound, bound
         )
-        edge_lin1 = TorchDense(L, name="edge_lin1")
-        edge_ln = GraphLayerNorm(L, name="edge_ln")
+        w_u = self.param("edge_w_u", slot_init, (L, L))
+        w_v = self.param("edge_w_v", slot_init, (L, L))
+        w_e = self.param("edge_w_e", slot_init, (L, L))
+        edge_b0 = self.param("edge_b0", slot_init, (L,))
+        edge_lin1_k, edge_lin1_b = DenseParams(L, L, name="edge_lin1")()
+        edge_ln_w, edge_ln_b = LayerNormParams(L, name="edge_ln")()
 
         snd, rcv = batch.senders, batch.receivers
         edge_mask = batch.edge_mask
@@ -112,34 +117,74 @@ class Processor(nn.Module):
         proj_v = jnp.dot(x_ext, w_v, precision=prec)  # SECOND concat slot
         e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
-        def edge_net_tail(pre: jax.Array) -> jax.Array:
-            h = nn.relu(pre)
-            return edge_ln(nn.relu(edge_lin1(h)), edge_mask, axis_name)
+        use_fused = self.scatter_impl == "fused" and axis_name is None
+        if use_fused:
+            from p_div_gnn_tpu.ops.fused_edge import (
+                fused_edge_mlp,
+                lazy_layernorm_affine,
+                masked_moments,
+            )
+            from p_div_gnn_tpu.ops.scatter_pallas import pallas_affine_scatter
 
-        # message: edge_net([x_i, x_j, e]) with i=target, j=source.
-        msg_pre = proj_u[rcv] + proj_v[snd] + e_proj + edge_b0
-        messages = edge_net_tail(msg_pre)
+            G = batch.n_graphs
+            aux = (batch.edge_gid, batch.edge_block_tile)
+            Np = x.shape[0]
+            # messages: A-slot = proj_u (tile-gathered by receiver);
+            # S = other-endpoint gather + e-projection + first bias.
+            s_msg = proj_v[snd] + e_proj + edge_b0
+            z_msg = fused_edge_mlp(
+                proj_u[:Np], s_msg, edge_lin1_k, edge_lin1_b, rcv, aux, G
+            )
+            # edge update: swapped slots.
+            s_upd = proj_u[snd] + e_proj + edge_b0
+            z_upd = fused_edge_mlp(
+                proj_v[:Np], s_upd, edge_lin1_k, edge_lin1_b, rcv, aux, G
+            )
+            # lazy graph-LN: moments in one XLA reduction, affine folded
+            # into the consumers (scatter; residual update).
+            m1, s1 = masked_moments(z_msg, edge_mask)
+            a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
+            m2, s2 = masked_moments(z_upd, edge_mask)
+            a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
+            aggr = pallas_affine_scatter(
+                z_msg, a1, b1, rcv, batch.edge_gid, batch.edge_block_tile,
+                Np, G,
+            )
+            new_e = (z_upd * a2 + b2) * edge_mask[:, None]
+        else:
+            def edge_net_tail(pre: jax.Array) -> jax.Array:
+                h = nn.relu(pre)
+                y = nn.relu(
+                    jnp.dot(h, edge_lin1_k, precision=prec) + edge_lin1_b
+                )
+                return masked_graph_layernorm(
+                    y, edge_mask, edge_ln_w, edge_ln_b, axis_name=axis_name
+                )
 
-        # edge update: edge_net([x_row, x_col, e]) = [source, target, e].
-        upd_pre = proj_u[snd] + proj_v[rcv] + e_proj + edge_b0
-        new_e = edge_net_tail(upd_pre)
+            # message: edge_net([x_i, x_j, e]) with i=target, j=source.
+            msg_pre = proj_u[rcv] + proj_v[snd] + e_proj + edge_b0
+            messages = edge_net_tail(msg_pre)
 
-        # aggregate (scatter-add over targets) then node_net([aggr, x]).
-        aggr = scatter_add(
-            messages,
-            rcv,
-            x.shape[0],
-            block_tile=batch.edge_block_tile,
-            impl=self.scatter_impl,
+            # edge update: edge_net([x_row, x_col, e]) = [source, target, e].
+            upd_pre = proj_u[snd] + proj_v[rcv] + e_proj + edge_b0
+            new_e = edge_net_tail(upd_pre)
+
+            # aggregate (scatter-add over targets) then node_net([aggr, x]).
+            aggr = scatter_add(
+                messages,
+                rcv,
+                x.shape[0],
+                block_tile=batch.edge_block_tile,
+                impl="xla" if self.scatter_impl == "fused"
+                else self.scatter_impl,
+            )
+        nbound = 1.0 / jnp.sqrt(2 * L)  # concat fan-in [aggr, x]
+        nslot_init = lambda k, s: jax.random.uniform(
+            k, s, jnp.float32, -nbound, nbound
         )
-        n_a = self.param("node_w_a", torch_linear_kernel_init, (L, L))
-        n_x = self.param("node_w_x", torch_linear_kernel_init, (L, L))
-        nbound = 1.0 / jnp.sqrt(2 * L)
-        node_b0 = self.param(
-            "node_b0",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -nbound, nbound),
-            (L,),
-        )
+        n_a = self.param("node_w_a", nslot_init, (L, L))
+        n_x = self.param("node_w_x", nslot_init, (L, L))
+        node_b0 = self.param("node_b0", nslot_init, (L,))
         node_lin1 = TorchDense(L, name="node_lin1")
         node_ln = GraphLayerNorm(L, name="node_ln")
         node_pre = (

@@ -133,3 +133,113 @@ def _bwd(num_nodes, receivers, g):
 
 
 pallas_segment_sum.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Affine scatter: out = scatter_add((z·alpha + beta)·mask) — folds the lazy
+# graph-LN affine (ops/fused_edge.lazy_layernorm_affine) into the message
+# scatter so the normalized (E, L) message tensor is never materialized.
+# ---------------------------------------------------------------------------
+
+
+def _affine_kernel(block_tile_ref, z_ref, rcv_ref, gid_ref, ab_ref, out_ref,
+                   *, n_graphs: int):
+    b = pl.program_id(0)
+    tile = block_tile_ref[b]
+    prev = block_tile_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, tile != prev)
+
+    base = tile * NODE_TILE
+    rcv_local = rcv_ref[:, :] - base
+    col_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+    )
+    onehot = (col_ids == rcv_local).astype(jnp.float32)
+    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
+    w = (z_ref[:, :] * ab_ref[0, :] + ab_ref[1, :]) * mask
+    contrib = jax.lax.dot_general(
+        onehot, w,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def pallas_affine_scatter(
+    z: jax.Array,  # (Ep, L)
+    alpha: jax.Array,  # (L,)
+    beta: jax.Array,  # (L,)
+    receivers: jax.Array,  # (Ep,)
+    edge_gid: jax.Array,  # (Ep,)
+    block_tile: jax.Array,  # (NB,)
+    num_nodes: int,
+    n_graphs: int,
+) -> jax.Array:
+    return _affine_forward(
+        z, alpha, beta, receivers, edge_gid, block_tile, num_nodes, n_graphs
+    )
+
+
+def _affine_forward(z, alpha, beta, receivers, edge_gid, block_tile,
+                    num_nodes, n_graphs):
+    Ep, L = z.shape
+    assert num_nodes % NODE_TILE == 0 and Ep % EDGE_BLOCK == 0
+    n_blocks = Ep // EDGE_BLOCK
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    ab = jnp.stack([alpha, beta]).astype(jnp.float32)  # (2, L)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_affine_kernel, n_graphs=n_graphs),
+        out_shape=jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(block_tile.astype(jnp.int32), z, rcv2d, gid2d, ab)
+
+
+def _affine_fwd(z, alpha, beta, receivers, edge_gid, block_tile, num_nodes,
+                n_graphs):
+    out = _affine_forward(
+        z, alpha, beta, receivers, edge_gid, block_tile, num_nodes, n_graphs
+    )
+    return out, (z, alpha, receivers, edge_gid)
+
+
+def _affine_bwd(num_nodes, n_graphs, res, g):
+    z, alpha, receivers, edge_gid = res
+    ge = jnp.take(g, receivers, axis=0)  # (Ep, L)
+    mask = (edge_gid < n_graphs).astype(z.dtype)[:, None]
+    gm = ge * mask
+    dz = gm * alpha
+    dalpha = jnp.sum(gm * z, axis=0)
+    dbeta = jnp.sum(gm, axis=0)
+    return dz, dalpha, dbeta, None, None, None
+
+
+pallas_affine_scatter.defvjp(_affine_fwd, _affine_bwd)
