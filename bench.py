@@ -113,13 +113,14 @@ def main() -> None:
     )
     t_xla = time_train_step("xla", batch)
     log(f"xla train step: {t_xla*1e3:.2f} ms")
-    try:
-        t_pallas = time_train_step("pallas", batch)
-        log(f"pallas train step: {t_pallas*1e3:.2f} ms")
-    except Exception as exc:  # pragma: no cover - report xla-only numbers
-        log(f"pallas path failed ({type(exc).__name__}: {exc}); using xla")
-        t_pallas = t_xla
-    best = min(t_pallas, t_xla)
+    best = t_xla
+    for impl in ("pallas", "fused"):
+        try:
+            t = time_train_step(impl, batch)
+            log(f"{impl} train step: {t*1e3:.2f} ms")
+            best = min(best, t)
+        except Exception as exc:  # pragma: no cover
+            log(f"{impl} path failed ({type(exc).__name__}: {exc})")
     result = {
         "metric": "edges/s/chip (P-DivGNN train fwd+bwd, L=128, 10 MP steps, batch 16)",
         "value": round(n_edges / best, 1),

@@ -98,6 +98,67 @@ def compare_main(argv: list[str] | None = None) -> None:
     )
 
 
+def scaling_main(argv: list[str] | None = None) -> None:
+    """DP weak-scaling efficiency report (north-star metric harness)."""
+    p = argparse.ArgumentParser(prog="pdg-scaling")
+    p.add_argument("--graphs_per_device", type=int, default=4)
+    p.add_argument("--latent_size", type=int, default=128)
+    p.add_argument("--message_passing_steps", type=int, default=10)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+    import json
+
+    import numpy as np
+
+    from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh
+    from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix
+    from p_div_gnn_tpu.graphs import (
+        compute_node_labels,
+        compute_periodic_graph,
+        mesh_to_graph,
+    )
+    from p_div_gnn_tpu.graphs.batching import GraphSample
+    from p_div_gnn_tpu.parallel.scaling import measure_dp_scaling
+
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(args.graphs_per_device):
+        mesh = hole_plate_mesh(
+            100.0, 100.0, radius=20.0, hole_center=(50.0, 50.0),
+            hole_refinement_factor=6.0, global_mesh_refinement_size=4.0,
+            seed=i,
+        )
+        g = compute_periodic_graph(mesh_to_graph(mesh))
+        op = compute_op_div_matrix(mesh.points[:, :2], mesh.faces)
+        samples.append(
+            GraphSample(
+                graph=g,
+                mean_stress=rng.normal(size=3).astype(np.float32),
+                local_stress=rng.normal(size=(g.num_nodes, 3)).astype(
+                    np.float32
+                ),
+                node_labels=compute_node_labels(mesh),
+                div_data=op.data.astype(np.float32),
+                div_row=op.row.astype(np.int64),
+                div_col=op.col.astype(np.int64),
+            )
+        )
+    rows = measure_dp_scaling(
+        samples,
+        latent_size=args.latent_size,
+        message_passing_steps=args.message_passing_steps,
+    )
+    for r in rows:
+        print(
+            f"devices={r['devices']:2d}  step={r['step_s']*1e3:8.2f} ms  "
+            f"{r['edges_per_s']/1e6:8.3f} M edges/s  "
+            f"efficiency={r['efficiency']*100:6.1f}%"
+        )
+    if args.output:
+        with open(args.output, "w") as fh:
+            json.dump(rows, fh, indent=2)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     dispatch = {
@@ -106,6 +167,7 @@ if __name__ == "__main__":
         "generate": generate_main,
         "benchmark": benchmark_main,
         "compare": compare_main,
+        "scaling": scaling_main,
     }
     if cmd not in dispatch:
         print(f"usage: python -m p_div_gnn_tpu.cli {{{'|'.join(dispatch)}}} ...")
