@@ -129,6 +129,111 @@ def _forward(a, s, w2, b2, receivers, aux, n_graphs):
     )
 
 
+def _bwd_kernel(block_tile_ref, a_ref, s_ref, z_ref, dz_ref, rcv_ref, w2_ref,
+                dpre_ref, da_ref, dw2_ref):
+    """Backward: recompute h from streamed inputs, then emit dpre (stream),
+    per-tile dA accumulation (revisited output, blocks of a tile are grid-
+    consecutive) and the global dW2 accumulation (single revisited block —
+    the TPU grid is sequential, so read-modify-write is safe)."""
+    b = pl.program_id(0)
+    tile = block_tile_ref[b]
+    prev = block_tile_ref[jnp.maximum(b - 1, 0)]
+    tile_first = jnp.logical_or(b == 0, tile != prev)
+
+    base = tile * NODE_TILE
+    rcv_local = rcv_ref[:, :] - base
+    col_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+    )
+    onehot = (col_ids == rcv_local).astype(jnp.float32)
+    a_rows = jax.lax.dot_general(
+        onehot, a_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+    h = jnp.maximum(a_rows + s_ref[:, :], 0.0)
+    dy = dz_ref[:, :] * (z_ref[:, :] > 0)  # z>0 ⟺ y>0 ∧ real edge
+    dh = jax.lax.dot_general(
+        dy, w2_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+    dpre = dh * (h > 0)
+    dpre_ref[:, :] = dpre
+
+    da_contrib = jax.lax.dot_general(
+        onehot, dpre,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+
+    @pl.when(tile_first)
+    def _():
+        da_ref[:, :] = da_contrib
+
+    @pl.when(jnp.logical_not(tile_first))
+    def _():
+        da_ref[:, :] = da_ref[:, :] + da_contrib
+
+    dw2_contrib = jax.lax.dot_general(
+        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+
+    @pl.when(b == 0)
+    def _():
+        dw2_ref[:, :] = dw2_contrib
+
+    @pl.when(b != 0)
+    def _():
+        dw2_ref[:, :] = dw2_ref[:, :] + dw2_contrib
+
+
+def _backward_pallas(a, s, w2, receivers, block_tile, z, dz):
+    Ep, L = s.shape
+    Np = a.shape[0]
+    n_blocks = Ep // EDGE_BLOCK
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+            jax.ShapeDtypeStruct((Np, L), jnp.float32),
+            jax.ShapeDtypeStruct((L, L), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(block_tile.astype(jnp.int32), a, s, z, dz, rcv2d, w2)
+
+
 def _fwd(a, s, w2, b2, receivers, aux, n_graphs):
     z = _forward(a, s, w2, b2, receivers, aux, n_graphs)
     return z, (a, s, w2, receivers, aux, z)
@@ -136,25 +241,14 @@ def _fwd(a, s, w2, b2, receivers, aux, n_graphs):
 
 def _bwd(n_graphs, res, dz):
     a, s, w2, receivers, aux, z = res
-    edge_gid, _ = aux
-    # recompute h (XLA gather formulation; one pass)
-    pre = jnp.take(a, receivers, axis=0) + s
-    h = jnp.maximum(pre, 0.0)
-    dy = dz * (z > 0)  # z>0 ⟺ y>0 ∧ real edge
-    dw2 = jax.lax.dot_general(
-        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+    _, block_tile = aux
+    dpre, da_raw, dw2 = _backward_pallas(
+        a, s, w2, receivers, block_tile, z, dz
     )
-    db2 = jnp.sum(dy, axis=0)
-    dh = jax.lax.dot_general(
-        dy, w2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-    dpre = dh * (h > 0)
-    da = jax.ops.segment_sum(
-        dpre, receivers, num_segments=a.shape[0], indices_are_sorted=True
-    )
-    return da, dpre, dw2, db2, None, None
+    # Tiles that own NO edge block never write their dA rows — impossible
+    # here by construction (blockify guarantees >=1 block per tile).
+    db2 = jnp.sum(dz * (z > 0), axis=0)
+    return da_raw, dpre, dw2, db2, None, None
 
 
 fused_edge_mlp.defvjp(_fwd, _bwd)
