@@ -34,6 +34,7 @@ class GraphLoader:
         edges_per_node: int = 8,
         div_per_node: int = 16,
         cache_device_batches: bool | None = None,
+        cache_groups: bool = False,
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -47,6 +48,12 @@ class GraphLoader:
             (not shuffle) if cache_device_batches is None
             else cache_device_batches
         )
+        # cache_groups: fix the batch COMPOSITIONS once (one shuffled
+        # grouping), keep every packed batch device-resident, and reshuffle
+        # only the batch ORDER per epoch. Trades the reference's per-epoch
+        # regrouping for zero per-epoch host→device traffic — decisive when
+        # the host link is slow (remote-TPU tunnels). Off by default.
+        self.cache_groups = cache_groups
         self._device_cache: list[GraphBatch] | None = None
         self.node_buckets = default_node_buckets()
         # Edge/div capacities are TIED to the node bucket, so the number of
@@ -76,8 +83,35 @@ class GraphLoader:
         return pad_nodes, pad_edges, pad_div
 
     def __iter__(self) -> Iterator[GraphBatch]:
-        if self.cache_device_batches and self._device_cache is not None:
-            yield from self._device_cache
+        if self._device_cache is not None:
+            if self.cache_groups and self.shuffle:
+                for i in self.rng.permutation(len(self._device_cache)):
+                    yield self._device_cache[i]
+            else:
+                yield from self._device_cache
+            return
+        if self.cache_groups:
+            import jax
+
+            order = np.arange(len(self.samples))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            cache = []
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                bs = [self.samples[i] for i in idx]
+                pn, pe, pd = self._capacities(bs)
+                cache.append(
+                    jax.tree.map(
+                        jax.device_put,
+                        pack_batch(
+                            bs, n_graphs=self.batch_size, tile=self.tile,
+                            pad_nodes=pn, pad_edges=pe, pad_div=pd,
+                        ),
+                    )
+                )
+            self._device_cache = cache
+            yield from cache
             return
         order = np.arange(len(self.samples))
         if self.shuffle:

@@ -67,6 +67,7 @@ def run_experience(
     scatter_impl: str = "xla",
     data_parallel: bool = False,
     resume: bool = False,
+    cache_train_batches: bool = False,
     **_ignored: Any,
 ) -> tuple[list[float], list[float]]:
     random.seed(SEED)
@@ -91,7 +92,8 @@ def run_experience(
     # reproduced deliberately.
     test_ds = MeshStressFieldDataset(test_df)
     train_loader = GraphLoader(
-        train_ds.samples, batch_size, shuffle=True, seed=SEED
+        train_ds.samples, batch_size, shuffle=True, seed=SEED,
+        cache_groups=cache_train_batches,
     )
     test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False)
 
