@@ -176,6 +176,7 @@ def main(
             _histograms(metrics, name, out)
             if topk:
                 _topk_report(metrics, name, out, topk)
+                render_topk_fields(gt_df, folder, name, out)
     return results
 
 
@@ -207,3 +208,43 @@ def _topk_report(metrics: pd.DataFrame, name: str, out: Path, k: int) -> None:
         ].tolist()[:k],
     }
     (out / f"topk_{name}.json").write_text(json.dumps(report, indent=2))
+
+
+def render_topk_fields(
+    gt_df: pd.DataFrame,
+    inference_folder: str | Path,
+    name: str,
+    out: Path,
+    topk_per_kind: int = 2,
+) -> None:
+    """Best/worst per-sample field-comparison figures (the paper's sample
+    fan-out, `compare_results.py:1341-1433`)."""
+    from p_div_gnn_tpu.analysis.plots import plot_sample_comparison
+    from p_div_gnn_tpu.graphs.meshio import read_vtk
+
+    metrics = evaluate_model_folder(gt_df, inference_folder)
+    pred_df = pd.read_csv(Path(inference_folder) / "dataset.csv")
+    picks = {
+        "best": topk_indices(metrics["nmse"].to_numpy(), topk_per_kind,
+                             largest=False),
+        "worst": topk_indices(metrics["nmse"].to_numpy(), topk_per_kind,
+                              largest=True),
+    }
+    for kind, idxs in picks.items():
+        for rank, i in enumerate(idxs):
+            mesh = read_vtk(gt_df["mesh_filename"][int(i)])
+            gt = np.asarray(
+                load_sample_npz(gt_df["data_filename"][int(i)])["stress_field"]
+            )
+            gdata = load_sample_npz(gt_df["data_filename"][int(i)])
+            pred = np.asarray(
+                load_sample_npz(pred_df["data_filename"][int(i)])["stress_field"]
+            )
+            D = build_div_matrix(gdata)
+            div = divergence_norm_field(
+                pred, D, np.asarray(gdata["node_labels"])
+            )
+            plot_sample_comparison(
+                mesh.points[:, :2], mesh.faces, gt, pred, div,
+                out / f"fields_{name}_{kind}{rank}_sample{int(i)}.pdf",
+            )

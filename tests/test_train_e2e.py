@@ -137,3 +137,21 @@ def test_weights_folder_collision_fails_fast(tmp_path):
     with pytest.raises(FileExistsError):
         trainer.fit(params, opt_state, loader, loader, 1, tmp_path / "w",
                     verbose=False)
+
+
+def test_cache_groups_loader(tmp_path):
+    """cache_groups: same batch set every epoch, order permuted, device
+    resident."""
+    df = _write_toy_dataset(tmp_path, n_samples=8, seed=11)
+    from p_div_gnn_tpu.graphs import MeshStressFieldDataset
+
+    ds = MeshStressFieldDataset(df)
+    loader = GraphLoader(ds.samples, 2, shuffle=True, seed=3,
+                         cache_groups=True)
+    first = [np.asarray(b.node_gid).tobytes() + np.asarray(b.pos).tobytes()
+             for b in loader]
+    second = [np.asarray(b.node_gid).tobytes() + np.asarray(b.pos).tobytes()
+              for b in loader]
+    assert sorted(first) == sorted(second)  # same multiset of batches
+    third = [np.asarray(b.pos).tobytes() for b in loader]
+    assert len(third) == len(first)
