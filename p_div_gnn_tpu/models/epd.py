@@ -41,7 +41,6 @@ from p_div_gnn_tpu.models.blocks import (
     LayerNormParams,
     MLPBlock,
     TorchDense,
-    torch_linear_kernel_init,
 )
 from p_div_gnn_tpu.ops.layernorm import masked_graph_layernorm
 from p_div_gnn_tpu.ops.scatter import scatter_add

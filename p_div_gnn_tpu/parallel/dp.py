@@ -17,7 +17,7 @@ same code via jax.distributed.initialize.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

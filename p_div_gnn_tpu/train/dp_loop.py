@@ -10,7 +10,7 @@ policy is identical to the single-chip loop.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 
