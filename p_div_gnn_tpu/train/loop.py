@@ -132,7 +132,10 @@ class Trainer:
                 if verbose:
                     print("Training early stopped")
                 break
-            tr_nmse = tr_div = tr_total = 0.0
+            # Accumulate metrics as DEVICE scalars and sync once per epoch:
+            # a per-step float() would serialize host round-trips (fatal
+            # over remote-TPU links) and stall the dispatch pipeline.
+            tr_nmse = tr_div = tr_total = jnp.float32(0)
             n_tr = 0
             from p_div_gnn_tpu.train.data import prefetch
 
@@ -140,20 +143,24 @@ class Trainer:
                 params, opt_state, aux = self._train_step(
                     params, opt_state, batch
                 )
-                tr_nmse += float(aux["nmse"])
-                tr_total += float(aux["total"])
+                tr_nmse = tr_nmse + aux["nmse"]
+                tr_total = tr_total + aux["total"]
                 if self.optimize_divergence:
-                    tr_div += float(aux["divergence"])
+                    tr_div = tr_div + aux["divergence"]
                 n_tr += 1
-            te_nmse = te_div = te_total = 0.0
+            te_nmse = te_div = te_total = jnp.float32(0)
             n_te = 0
             for batch in test_loader:
                 aux = self._eval_step(params, batch)
-                te_nmse += float(aux["nmse"])
-                te_total += float(aux["total"])
+                te_nmse = te_nmse + aux["nmse"]
+                te_total = te_total + aux["total"]
                 if self.monitor_divergence_in_test:
-                    te_div += float(aux["divergence"])
+                    te_div = te_div + aux["divergence"]
                 n_te += 1
+            tr_nmse, tr_div, tr_total, te_div, te_total = (
+                float(tr_nmse), float(tr_div), float(tr_total),
+                float(te_div), float(te_total),
+            )
 
             train_loss = tr_total / max(n_tr, 1)
             test_loss = te_total / max(n_te, 1)
@@ -191,10 +198,21 @@ class Trainer:
                     f"Epoch: {epoch + 1} / {epochs}, "
                     f"\nTotal train Loss : {train_loss}"
                     f"\nMSE train Loss : {tr_nmse / max(n_tr, 1)} "
-                    f"\nTest Loss : {test_loss}"
+                    f"\nTest Loss : {test_loss}",
+                    flush=True,
                 )
             train_losses.append(train_loss)
             test_losses.append(test_loss)
+            # keep the last-epoch checkpoint fresh each epoch (the
+            # reference writes it only at the very end, gnn_train.py:299;
+            # per-epoch saves make long runs resumable after interruption)
+            save_checkpoint(
+                weights_folder / LAST_CHECKPOINT,
+                params,
+                opt_state,
+                epoch + 1,
+                self.stats,
+            )
         save_checkpoint(
             weights_folder / LAST_CHECKPOINT,
             params,
