@@ -53,3 +53,21 @@ def test_fused_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
         )
+
+
+def test_fused_padding_invariance():
+    from p_div_gnn_tpu.graphs import pack_batch as _pack
+
+    s = _mesh_sample(5, nx=4)
+    model = EncodeProcessDecode(
+        latent_size=16, message_passing_steps=2, scatter_impl="fused",
+        remat_steps=False,
+    )
+    b1 = _pack([s], n_graphs=1)
+    b2 = _pack([s], n_graphs=2, pad_nodes=b1.num_nodes_padded + 256)
+    with pltpu.force_tpu_interpret_mode():
+        params = model.init(jax.random.PRNGKey(4), b1, STATS)
+        o1 = np.asarray(model.apply(params, b1, STATS))
+        o2 = np.asarray(model.apply(params, b2, STATS))
+    n = s.num_nodes
+    np.testing.assert_allclose(o1[:n], o2[:n], rtol=1e-4, atol=1e-5)
