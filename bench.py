@@ -73,7 +73,7 @@ def build_workload(n_graphs: int = 16, seed: int = 0):
     return batch, n_real_edges, n_real_nodes
 
 
-def time_train_step(scatter_impl: str, batch, steps: int = 20) -> float:
+def make_train_step(scatter_impl: str, batch):
     import jax
 
     from p_div_gnn_tpu.graphs.container import NormStats
@@ -92,14 +92,12 @@ def time_train_step(scatter_impl: str, batch, steps: int = 20) -> float:
         optimize_divergence=True,
     )
     params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
-    # warmup / compile
-    params, opt_state, aux = trainer._train_step(params, opt_state, batch)
+
+    # non-donating jit so the same (params, opt_state) can be re-timed
+    step = jax.jit(trainer._train_step_impl)
+    params, opt_state, aux = step(params, opt_state, batch)  # compile
     jax.block_until_ready(aux["total"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, aux = trainer._train_step(params, opt_state, batch)
-    jax.block_until_ready(aux["total"])
-    return (time.perf_counter() - t0) / steps
+    return step, params, opt_state
 
 
 def main() -> None:
@@ -111,16 +109,31 @@ def main() -> None:
         f"workload: {n_nodes} nodes, {n_edges} edges "
         f"(padded {batch.num_nodes_padded}/{batch.num_edges_padded})"
     )
-    t_xla = time_train_step("xla", batch)
-    log(f"xla train step: {t_xla*1e3:.2f} ms")
-    best = t_xla
-    for impl in ("pallas", "fused"):
+    # The tunneled chip shows large (up to ~5x) run-to-run contention noise,
+    # so each implementation is timed in short blocks, INTERLEAVED across
+    # several rounds, and the per-impl best block is used.
+    impls = ["xla", "pallas", "fused"]
+    cases = {}
+    for impl in impls:
         try:
-            t = time_train_step(impl, batch)
-            log(f"{impl} train step: {t*1e3:.2f} ms")
-            best = min(best, t)
+            cases[impl] = make_train_step(impl, batch)
         except Exception as exc:  # pragma: no cover
             log(f"{impl} path failed ({type(exc).__name__}: {exc})")
+    best_t = {impl: float("inf") for impl in cases}
+    block_steps = 5
+    for r in range(6):
+        for impl, (step, params, opt_state) in cases.items():
+            t0 = time.perf_counter()
+            for _ in range(block_steps):
+                _, _, aux = step(params, opt_state, batch)
+            jax.block_until_ready(aux["total"])
+            t = (time.perf_counter() - t0) / block_steps
+            best_t[impl] = min(best_t[impl], t)
+            log(f"r{r} {impl}: {t*1e3:.2f} ms")
+    for impl, t in best_t.items():
+        log(f"best {impl} train step: {t*1e3:.2f} ms")
+    t_xla = best_t.get("xla", float("inf"))
+    best = min(best_t.values())
     result = {
         "metric": "edges/s/chip (P-DivGNN train fwd+bwd, L=128, 10 MP steps, batch 16)",
         "value": round(n_edges / best, 1),

@@ -119,36 +119,34 @@ class Processor(nn.Module):
         use_fused = self.scatter_impl == "fused" and axis_name is None
         if use_fused:
             from p_div_gnn_tpu.ops.fused_edge import (
-                fused_edge_mlp,
+                fused_edge_step,
                 lazy_layernorm_affine,
-                masked_moments,
+                moments_from_partials,
             )
-            from p_div_gnn_tpu.ops.scatter_pallas import pallas_affine_scatter
+            from p_div_gnn_tpu.ops.segment import segment_sum
 
             G = batch.n_graphs
             aux = (batch.edge_gid, batch.edge_block_tile)
             Np = x.shape[0]
-            # messages: A-slot = proj_u (tile-gathered by receiver);
-            # S = other-endpoint gather + e-projection + first bias.
+            # ONE pass over the edge stream: both edge-net evaluations
+            # (messages: A-slot = proj_u tile-gathered by receiver, S =
+            # sender gather + e-projection + first bias; edge update:
+            # slots swapped), the RAW message scatter R and the graph-LN
+            # moment partials M — z_msg is never materialized in HBM.
             s_msg = proj_v[snd] + e_proj + edge_b0
-            z_msg = fused_edge_mlp(
-                proj_u[:Np], s_msg, edge_lin1_k, edge_lin1_b, rcv, aux, G
-            )
-            # edge update: swapped slots.
             s_upd = proj_u[snd] + e_proj + edge_b0
-            z_upd = fused_edge_mlp(
-                proj_v[:Np], s_upd, edge_lin1_k, edge_lin1_b, rcv, aux, G
+            z_upd, r_raw, m = fused_edge_step(
+                proj_u[:Np], proj_v[:Np], s_msg, s_upd,
+                edge_lin1_k, edge_lin1_b, rcv, aux, G,
             )
-            # lazy graph-LN: moments in one XLA reduction, affine folded
-            # into the consumers (scatter; residual update).
-            m1, s1 = masked_moments(z_msg, edge_mask)
+            # lazy graph-LN: fold the affine into the consumers.
+            # aggr_i = Σ_real (z·α1 + β1) = α1·R_i + β1·deg_i.
+            m1, s1 = moments_from_partials(m[0], m[1], edge_mask)
             a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
-            m2, s2 = masked_moments(z_upd, edge_mask)
+            m2, s2 = moments_from_partials(m[2], m[3], edge_mask)
             a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
-            aggr = pallas_affine_scatter(
-                z_msg, a1, b1, rcv, batch.edge_gid, batch.edge_block_tile,
-                Np, G,
-            )
+            deg = segment_sum(edge_mask.astype(jnp.float32)[:, None], rcv, Np)
+            aggr = r_raw * a1 + deg * b1
             new_e = (z_upd * a2 + b2) * edge_mask[:, None]
         else:
             def edge_net_tail(pre: jax.Array) -> jax.Array:

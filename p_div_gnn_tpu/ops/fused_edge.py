@@ -1,27 +1,33 @@
-"""Fused edge-MLP pipeline kernel (Pallas, TPU).
+"""Fused edge-step Pallas kernel (TPU) — the Processor's hot path.
 
-Computes one edge-net evaluation of the Processor in a single pass over the
-edge stream:
+One kernel pass over the edge stream computes, per Processor step:
 
-    z = relu( relu( A[rcv] + S ) @ W2 + b2 ) · mask
+    z_msg = relu( relu( A_u[rcv] + S_msg ) @ W2 + b2 ) · mask   (messages)
+    z_upd = relu( relu( A_v[rcv] + S_upd ) @ W2 + b2 ) · mask   (edge upd)
+    R     = scatter_add(z_msg → receivers)       (RAW message aggregation)
+    M     = per-lane [Σz_msg, Σz_msg², Σz_upd, Σz_upd²]   (graph-LN moments)
 
-where ``A`` is a hoisted node projection (tile-resident: receivers of an
+where ``A_*`` are hoisted node projections (tile-resident: receivers of an
 edge block live in ONE 128-node tile by the block-aligned CSR layout, so
-the per-edge gather A[rcv] becomes an MXU one-hot contraction against the
-streamed A tile — no random access), ``S`` is the precomputed per-edge sum
-(other-endpoint gather + e-projection + first-layer bias, one XLA fusion),
-and ``mask`` zeroes padding edges (their graph-LN output is exactly zero in
-the reference formulation, so masking here preserves semantics).
+the per-edge gather A[rcv] — and the scatter of z_msg — become MXU one-hot
+contractions against the streamed tile, no random access), and ``S_*`` are
+precomputed per-edge sums (other-endpoint gather + e-projection +
+first-layer bias, one XLA fusion each). ``mask`` zeroes padding edges
+(their graph-LN output is exactly zero in the reference formulation, so
+masking preserves semantics).
 
-The graph-LN that follows in the reference is applied lazily: its masked
-moments are one XLA reduction over z, and consumers fold the resulting
-per-lane affine into their own reads (the scatter kernel for messages, one
-elementwise fusion for the edge-residual update) — the (E, L) pre-LN
-tensor is never re-materialized.
+The graph-LN that follows in the reference
+(`/root/reference/gnn_local_stress/models.py:199,207`) is applied lazily:
+its per-lane affine (α, β) is derived from M in XLA and folded into the
+consumers —
 
-Backward is a custom VJP in XLA ops (gather + matmuls): under per-step
-rematerialization the forward replay uses this fused kernel, so the
-savings apply to the backward pass's recompute as well.
+    aggr  = α1·R + β1·deg     (deg = per-node real-edge count)
+    new_e = (z_upd·α2 + β2)·mask
+
+so z_msg is NEVER materialized in HBM and the normalized (E, L) message
+tensor never exists. Backward is a matching one-pass Pallas kernel
+(custom VJP) that recomputes z_msg in-VMEM; under per-step
+rematerialization the forward replay also uses the fused kernel.
 """
 
 from __future__ import annotations
@@ -39,62 +45,133 @@ NODE_TILE = 128
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _kernel(block_tile_ref, a_ref, s_ref, rcv_ref, gid_ref, w2_ref, b2_ref,
-            z_ref, *, n_graphs: int):
+def _maybe_interpret():
+    """On a genuine CPU backend (no TPU), run the kernels in TPU-interpret
+    mode so the fused path stays functional everywhere (tests/dev boxes);
+    production CPUs should prefer scatter_impl='xla'."""
+    import contextlib
+
+    if jax.default_backend() == "cpu":
+        return pltpu.force_tpu_interpret_mode()
+    return contextlib.nullcontext()
+
+
+# ---------------------------------------------------------------------------
+# v2: whole edge step in ONE pass over the edge stream.
+#
+# A single kernel computes BOTH edge-net evaluations of a Processor step
+# (messages and edge update share the receiver one-hot and W2), the RAW
+# message scatter R = Σ onehot·z_msg, and the per-lane graph-LN moment
+# partials M — so z_msg is never materialized in HBM and neither the
+# standalone scatter kernel's (E, L) re-read nor the XLA moment reductions'
+# two extra (E, L) passes happen. The LN affine is applied lazily in XLA:
+#   aggr  = α1·R + β1·deg          (deg = per-node real-edge count)
+#   new_e = (z_upd·α2 + β2)·mask   (one elementwise pass)
+# ---------------------------------------------------------------------------
+
+
+def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
+                 rcv_ref, gid_ref, w2_ref, b2_ref,
+                 z_upd_ref, r_ref, m_ref, *, n_graphs: int):
     b = pl.program_id(0)
     tile = block_tile_ref[b]
+    prev = block_tile_ref[jnp.maximum(b - 1, 0)]
+    tile_first = jnp.logical_or(b == 0, tile != prev)
+
     base = tile * NODE_TILE
-    rcv_local = rcv_ref[:, :] - base  # (EB, 1)
-    col_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
-    )
+    rcv_local = rcv_ref[:, :] - base
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
     onehot = (col_ids == rcv_local).astype(jnp.float32)
-    a_rows = jax.lax.dot_general(
-        onehot, a_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_PREC,
-    )
-    h = jnp.maximum(a_rows + s_ref[:, :], 0.0)
-    y = (
-        jax.lax.dot_general(
+    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
+
+    def edge_mlp(a_ref, s_ref):
+        a_rows = jax.lax.dot_general(
+            onehot, a_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        h = jnp.maximum(a_rows + s_ref[:, :], 0.0)
+        y = jax.lax.dot_general(
             h, w2_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PREC,
-        )
-        + b2_ref[0, :]
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ) + b2_ref[0, :]
+        return jnp.maximum(y, 0.0) * mask
+
+    z_msg = edge_mlp(a_u_ref, s_msg_ref)
+    z_upd = edge_mlp(a_v_ref, s_upd_ref)
+    z_upd_ref[:, :] = z_upd
+
+    r_contrib = jax.lax.dot_general(
+        onehot, z_msg,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
     )
-    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
-    z_ref[:, :] = jnp.maximum(y, 0.0) * mask
+
+    @pl.when(tile_first)
+    def _():
+        r_ref[:, :] = r_contrib
+
+    @pl.when(jnp.logical_not(tile_first))
+    def _():
+        r_ref[:, :] = r_ref[:, :] + r_contrib
+
+    zero = jnp.zeros((1, z_msg.shape[1]), jnp.float32)
+    m_contrib = jnp.concatenate(
+        [
+            jnp.sum(z_msg, axis=0, keepdims=True),
+            jnp.sum(z_msg * z_msg, axis=0, keepdims=True),
+            jnp.sum(z_upd, axis=0, keepdims=True),
+            jnp.sum(z_upd * z_upd, axis=0, keepdims=True),
+            zero, zero, zero, zero,  # pad to the fp32 (8, 128) tile
+        ],
+        axis=0,
+    )
+
+    @pl.when(b == 0)
+    def _():
+        m_ref[:, :] = m_contrib
+
+    @pl.when(b != 0)
+    def _():
+        m_ref[:, :] = m_ref[:, :] + m_contrib
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_edge_mlp(
-    a: jax.Array,  # (Np, L) tile-addressed node projection (receiver slot)
-    s: jax.Array,  # (Ep, L) precomputed per-edge sum (incl. first bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_edge_step(
+    a_u: jax.Array,  # (Np, L) receiver-slot projection for messages
+    a_v: jax.Array,  # (Np, L) receiver-slot projection for the edge update
+    s_msg: jax.Array,  # (Ep, L) sender gather + e-proj + first bias (msg)
+    s_upd: jax.Array,  # (Ep, L) ditto for the edge update (slots swapped)
     w2: jax.Array,  # (L, L)
     b2: jax.Array,  # (L,)
     receivers: jax.Array,  # (Ep,) i32, block-aligned CSR
-    aux: tuple,  # (edge_gid (Ep,) i32, block_tile (NB,) i32)
+    aux: tuple,  # (edge_gid (Ep,), block_tile (NB,))
     n_graphs: int,
-) -> jax.Array:
-    return _forward(a, s, w2, b2, receivers, aux, n_graphs)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (z_upd (Ep, L), R (Np, L) raw message scatter, M (8, L)
+    per-lane moment partials [Σz_msg, Σz_msg², Σz_upd, Σz_upd², 0...])."""
+    return _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux,
+                         n_graphs)
 
 
-def _forward(a, s, w2, b2, receivers, aux, n_graphs):
+def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
     edge_gid, block_tile = aux
-    Ep, L = s.shape
-    assert Ep % EDGE_BLOCK == 0
+    Ep, L = s_msg.shape
+    Np = a_u.shape[0]
+    assert Ep % EDGE_BLOCK == 0 and Np % NODE_TILE == 0
     n_blocks = Ep // EDGE_BLOCK
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
     gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
-    b2_2d = b2.reshape(1, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -107,34 +184,49 @@ def _forward(a, s, w2, b2, receivers, aux, n_graphs):
             pl.BlockSpec((1, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
     )
-    kernel = functools.partial(_kernel, n_graphs=n_graphs)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+    with _maybe_interpret():
+        return pl.pallas_call(
+        functools.partial(_step_kernel, n_graphs=n_graphs),
+        out_shape=(
+            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+            jax.ShapeDtypeStruct((Np, L), jnp.float32),
+            jax.ShapeDtypeStruct((8, L), jnp.float32),
+        ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Ep * L * (NODE_TILE + L),
-            bytes_accessed=Ep * L * 8 + Ep * 8 + n_blocks * NODE_TILE * L * 4,
+            flops=2 * Ep * L * (3 * NODE_TILE + 2 * L),
+            bytes_accessed=Ep * L * 12 + Ep * 8
+            + n_blocks * NODE_TILE * L * 8,
             transcendentals=0,
         ),
-    )(
-        block_tile.astype(jnp.int32), a, s, rcv2d, gid2d,
-        w2, b2_2d,
-    )
+    )(block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, rcv2d, gid2d,
+      w2, b2.reshape(1, L))
 
 
-def _bwd_kernel(block_tile_ref, a_ref, s_ref, z_ref, dz_ref, rcv_ref, w2_ref,
-                dpre_ref, da_ref, dw2_ref):
-    """Backward: recompute h from streamed inputs, then emit dpre (stream),
-    per-tile dA accumulation (revisited output, blocks of a tile are grid-
-    consecutive) and the global dW2 accumulation (single revisited block —
-    the TPU grid is sequential, so read-modify-write is safe)."""
+def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
+                     z_upd_ref, dz_upd_ref, dr_ref, dm_ref, rcv_ref, gid_ref,
+                     w2_ref, b2_ref,
+                     ds_msg_ref, ds_upd_ref, da_u_ref, da_v_ref, dwb_ref,
+                     *, n_graphs: int):
+    """One-pass backward: recomputes z_msg/h from the streamed inputs,
+    gathers the scatter cotangent dR[rcv] as the transposed one-hot
+    contraction, adds the moment-partial cotangents, and back-propagates
+    through both edge MLPs. Per-tile dA accumulators are revisited blocks
+    (grid-consecutive by the block-aligned CSR layout); dW2/db2 accumulate
+    in one revisited (L+8, L) block — the TPU grid is sequential so
+    read-modify-write is safe."""
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -142,127 +234,159 @@ def _bwd_kernel(block_tile_ref, a_ref, s_ref, z_ref, dz_ref, rcv_ref, w2_ref,
 
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
-    col_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
-    )
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
     onehot = (col_ids == rcv_local).astype(jnp.float32)
-    a_rows = jax.lax.dot_general(
-        onehot, a_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-    h = jnp.maximum(a_rows + s_ref[:, :], 0.0)
-    dy = dz_ref[:, :] * (z_ref[:, :] > 0)  # z>0 ⟺ y>0 ∧ real edge
-    dh = jax.lax.dot_general(
-        dy, w2_ref[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-    dpre = dh * (h > 0)
-    dpre_ref[:, :] = dpre
+    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
 
-    da_contrib = jax.lax.dot_general(
-        onehot, dpre,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+    def mm(x, y, dims):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+
+    # --- message path (z_msg recomputed; it was never written in fwd; the
+    # fwd masked z_msg, so the recomputed value must be re-masked before the
+    # relu gate or padding edges would leak gradient) ---
+    a_u_rows = mm(onehot, a_u_ref[:, :], ((1,), (0,)))
+    h1 = jnp.maximum(a_u_rows + s_msg_ref[:, :], 0.0)
+    y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2_ref[0, :]
+    z_msg = jnp.maximum(y1, 0.0) * mask
+
+    g_r = mm(onehot, dr_ref[:, :], ((1,), (0,)))  # dR gathered at receivers
+    dz_msg = g_r + dm_ref[0:1, :] + 2.0 * dm_ref[1:2, :] * z_msg
+    dy1 = dz_msg * (z_msg > 0)
+    dh1 = mm(dy1, w2_ref[:, :], ((1,), (1,)))
+    dpre1 = dh1 * (h1 > 0)
+
+    # --- edge-update path (z_upd streamed from fwd) ---
+    a_v_rows = mm(onehot, a_v_ref[:, :], ((1,), (0,)))
+    h2 = jnp.maximum(a_v_rows + s_upd_ref[:, :], 0.0)
+    z_upd = z_upd_ref[:, :]
+    dz_upd = (
+        dz_upd_ref[:, :] + dm_ref[2:3, :] + 2.0 * dm_ref[3:4, :] * z_upd
     )
+    dy2 = dz_upd * (z_upd > 0)
+    dh2 = mm(dy2, w2_ref[:, :], ((1,), (1,)))
+    dpre2 = dh2 * (h2 > 0)
+
+    ds_msg_ref[:, :] = dpre1
+    ds_upd_ref[:, :] = dpre2
+
+    da_u = mm(onehot, dpre1, ((0,), (0,)))
+    da_v = mm(onehot, dpre2, ((0,), (0,)))
 
     @pl.when(tile_first)
     def _():
-        da_ref[:, :] = da_contrib
+        da_u_ref[:, :] = da_u
+        da_v_ref[:, :] = da_v
 
     @pl.when(jnp.logical_not(tile_first))
     def _():
-        da_ref[:, :] = da_ref[:, :] + da_contrib
+        da_u_ref[:, :] = da_u_ref[:, :] + da_u
+        da_v_ref[:, :] = da_v_ref[:, :] + da_v
 
-    dw2_contrib = jax.lax.dot_general(
-        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    L = h1.shape[1]
+    dw2 = mm(h1, dy1, ((0,), (0,))) + mm(h2, dy2, ((0,), (0,)))
+    db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
+    zero = jnp.zeros((7, L), jnp.float32)
+    dwb = jnp.concatenate([dw2, db2, zero], axis=0)
 
     @pl.when(b == 0)
     def _():
-        dw2_ref[:, :] = dw2_contrib
+        dwb_ref[:, :] = dwb
 
     @pl.when(b != 0)
     def _():
-        dw2_ref[:, :] = dw2_ref[:, :] + dw2_contrib
+        dwb_ref[:, :] = dwb_ref[:, :] + dwb
 
 
-def _backward_pallas(a, s, w2, receivers, block_tile, z, dz):
-    Ep, L = s.shape
-    Np = a.shape[0]
+def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
+                          block_tile, edge_gid, z_upd, dz_upd, dr, dm,
+                          n_graphs):
+    Ep, L = s_msg.shape
+    Np = a_u.shape[0]
     n_blocks = Ep // EDGE_BLOCK
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    edge_spec = pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                             memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
+            tile_spec, tile_spec, edge_spec, edge_spec, edge_spec, edge_spec,
+            tile_spec,
+            pl.BlockSpec((8, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+            pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, L), lambda b, bt: (0, 0),
+            edge_spec,
+            edge_spec,
+            tile_spec,
+            tile_spec,
+            pl.BlockSpec((L + 8, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
-    return pl.pallas_call(
-        _bwd_kernel,
+    with _maybe_interpret():
+        return pl.pallas_call(
+        functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
         out_shape=(
             jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
             jax.ShapeDtypeStruct((Np, L), jnp.float32),
-            jax.ShapeDtypeStruct((L, L), jnp.float32),
+            jax.ShapeDtypeStruct((Np, L), jnp.float32),
+            jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(block_tile.astype(jnp.int32), a, s, z, dz, rcv2d, w2)
+    )(block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, z_upd, dz_upd,
+      dr, dm, rcv2d, gid2d, w2, b2.reshape(1, L))
 
 
-def _fwd(a, s, w2, b2, receivers, aux, n_graphs):
-    z = _forward(a, s, w2, b2, receivers, aux, n_graphs)
-    return z, (a, s, w2, receivers, aux, z)
+def _step_fwd(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
+    out = _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux,
+                        n_graphs)
+    z_upd, r, m = out
+    return out, (a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, z_upd)
 
 
-def _bwd(n_graphs, res, dz):
-    a, s, w2, receivers, aux, z = res
-    _, block_tile = aux
-    dpre, da_raw, dw2 = _backward_pallas(
-        a, s, w2, receivers, block_tile, z, dz
+def _step_bwd(n_graphs, res, cot):
+    a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, z_upd = res
+    dz_upd, dr, dm = cot
+    edge_gid, block_tile = aux
+    ds_msg, ds_upd, da_u, da_v, dwb = _step_backward_pallas(
+        a_u, a_v, s_msg, s_upd, w2, b2, receivers, block_tile, edge_gid,
+        z_upd, dz_upd, dr, dm, n_graphs,
     )
-    # Tiles that own NO edge block never write their dA rows — impossible
-    # here by construction (blockify guarantees >=1 block per tile).
-    db2 = jnp.sum(dz * (z > 0), axis=0)
-    return da_raw, dpre, dw2, db2, None, None
+    L = w2.shape[0]
+    return (da_u, da_v, ds_msg, ds_upd, dwb[:L], dwb[L], None, None)
 
 
-fused_edge_mlp.defvjp(_fwd, _bwd)
+fused_edge_step.defvjp(_step_fwd, _step_bwd)
 
 
-def masked_moments(z: jax.Array, edge_mask: jax.Array) -> tuple:
-    """Masked whole-tensor mean/std of a pre-zeroed tensor (padding rows of
-    z are exactly 0, so Σ and Σ² need no re-masking)."""
-    count = jnp.maximum(
-        jnp.sum(edge_mask.astype(z.dtype)) * z.shape[-1], 1.0
-    )
-    total = jnp.sum(z)
-    mean = total / count
-    var = jnp.maximum(jnp.sum(z * z) / count - mean * mean, 0.0)
+def moments_from_partials(
+    m_sum: jax.Array, m_sumsq: jax.Array, edge_mask: jax.Array
+) -> tuple:
+    """Whole-tensor mean/std from per-lane partial sums of the pre-masked
+    z (padding rows contribute exactly 0)."""
+    L = m_sum.shape[-1]
+    count = jnp.maximum(jnp.sum(edge_mask.astype(m_sum.dtype)) * L, 1.0)
+    mean = jnp.sum(m_sum) / count
+    var = jnp.maximum(jnp.sum(m_sumsq) / count - mean * mean, 0.0)
     return mean, jnp.sqrt(var)
 
 

@@ -97,6 +97,15 @@ def run_experience(
     )
     test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False)
 
+    if scatter_impl != "xla" and jax.default_backend() == "cpu":
+        # Pallas kernels only run interpreted on CPU, and interpret mode's
+        # IO effects are incompatible with per-step remat — fall back to
+        # the numerically-matching XLA path.
+        print(
+            f"scatter_impl={scatter_impl!r} needs a TPU backend; "
+            "using 'xla' on CPU"
+        )
+        scatter_impl = "xla"
     model = EncodeProcessDecode(
         latent_size=latent_size,
         message_passing_steps=message_passing_steps,
