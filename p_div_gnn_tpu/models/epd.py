@@ -116,7 +116,7 @@ class Processor(nn.Module):
         proj_v = jnp.dot(x_ext, w_v, precision=prec)  # SECOND concat slot
         e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
-        use_fused = self.scatter_impl == "fused" and axis_name is None
+        use_fused = self.scatter_impl == "fused"
         if use_fused:
             from p_div_gnn_tpu.ops.fused_edge import (
                 fused_edge_step,
@@ -141,9 +141,11 @@ class Processor(nn.Module):
             )
             # lazy graph-LN: fold the affine into the consumers.
             # aggr_i = Σ_real (z·α1 + β1) = α1·R_i + β1·deg_i.
-            m1, s1 = moments_from_partials(m[0], m[1], edge_mask)
+            # Under sharding the moments psum over the mesh axis (the
+            # reference's graph-mode LN spans the whole batch jointly).
+            m1, s1 = moments_from_partials(m[0], m[1], edge_mask, axis_name)
             a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
-            m2, s2 = moments_from_partials(m[2], m[3], edge_mask)
+            m2, s2 = moments_from_partials(m[2], m[3], edge_mask, axis_name)
             a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
             deg = segment_sum(edge_mask.astype(jnp.float32)[:, None], rcv, Np)
             aggr = r_raw * a1 + deg * b1

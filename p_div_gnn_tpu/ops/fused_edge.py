@@ -379,14 +379,27 @@ fused_edge_step.defvjp(_step_fwd, _step_bwd)
 
 
 def moments_from_partials(
-    m_sum: jax.Array, m_sumsq: jax.Array, edge_mask: jax.Array
+    m_sum: jax.Array,
+    m_sumsq: jax.Array,
+    edge_mask: jax.Array,
+    axis_name: str | None = None,
 ) -> tuple:
     """Whole-tensor mean/std from per-lane partial sums of the pre-masked
-    z (padding rows contribute exactly 0)."""
+    z (padding rows contribute exactly 0). Under sharding the graph-mode LN
+    statistics span the WHOLE batch (the reference normalizes over the full
+    edge tensor jointly), so the scalar partials are psum'd over
+    ``axis_name``."""
     L = m_sum.shape[-1]
-    count = jnp.maximum(jnp.sum(edge_mask.astype(m_sum.dtype)) * L, 1.0)
-    mean = jnp.sum(m_sum) / count
-    var = jnp.maximum(jnp.sum(m_sumsq) / count - mean * mean, 0.0)
+    count = jnp.sum(edge_mask.astype(m_sum.dtype)) * L
+    total = jnp.sum(m_sum)
+    total_sq = jnp.sum(m_sumsq)
+    if axis_name is not None:
+        count, total, total_sq = jax.lax.psum(
+            (count, total, total_sq), axis_name
+        )
+    count = jnp.maximum(count, 1.0)
+    mean = total / count
+    var = jnp.maximum(total_sq / count - mean * mean, 0.0)
     return mean, jnp.sqrt(var)
 
 

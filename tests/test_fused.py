@@ -55,6 +55,87 @@ def test_fused_gradients_match_xla():
         )
 
 
+def test_fused_dp_grads_match_xla_dp():
+    """Fused path under data-parallel sharding: the psum'd lazy-LN moments
+    must reproduce the XLA path's whole-batch graph-LN statistics."""
+    import optax
+    from jax.sharding import Mesh
+
+    from p_div_gnn_tpu.parallel.dp import (
+        device_put_sharded_batch,
+        make_dp_train_step,
+        pack_sharded_batch,
+    )
+
+    devs = jax.devices()
+    assert len(devs) >= 4
+    mesh = Mesh(np.array(devs[:4]), ("data",))
+    samples = [_mesh_sample(i, nx=4 + (i % 2)) for i in range(4)]
+    optimizer = optax.adam(1e-3)
+    sharded = pack_sharded_batch(samples, n_shards=4, graphs_per_shard=1)
+    sharded = device_put_sharded_batch(sharded, mesh)
+    init_local = jax.tree.map(
+        lambda x: np.asarray(x)[0] if getattr(x, "ndim", 0) else x, sharded
+    )
+
+    outs = {}
+    for impl in ("xla", "fused"):
+        model = EncodeProcessDecode(
+            latent_size=16, message_passing_steps=2, scatter_impl=impl,
+            remat_steps=False,
+        )
+        params = model.init(jax.random.PRNGKey(3), init_local, STATS)
+        opt_state = optimizer.init(params)
+        step = make_dp_train_step(
+            model, STATS, optimizer, mesh,
+            divergence_penalty=10.0, optimize_divergence=True,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            new_params, _, aux = step(params, opt_state, sharded)
+        outs[impl] = (new_params, float(aux["total"]))
+
+    np.testing.assert_allclose(outs["fused"][1], outs["xla"][1], rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(outs["fused"][0]), jax.tree.leaves(outs["xla"][0])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5
+        )
+
+
+def test_fused_partitioned_forward_matches_single_device():
+    """Fused path under edge-partitioned halo execution."""
+    from jax.sharding import Mesh
+
+    from p_div_gnn_tpu.parallel.partition import (
+        device_put_partitioned,
+        make_partitioned_forward,
+        partition_batch,
+    )
+    from test_partition import _reassemble
+
+    devs = jax.devices()
+    assert len(devs) >= 4
+    mesh = Mesh(np.array(devs[:4]), ("graph",))
+    samples = [_mesh_sample(i, nx=5) for i in range(2)]
+    batch = pack_batch(samples, n_graphs=2)
+    model = EncodeProcessDecode(
+        latent_size=16, message_passing_steps=3, scatter_impl="fused",
+        remat_steps=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        params = model.init(jax.random.PRNGKey(0), batch, STATS)
+        ref = np.asarray(model.apply(params, batch, STATS, scale_output=True))
+
+        stacked, send_idx = partition_batch(batch, n_shards=4)
+        stacked, send_idx = device_put_partitioned(stacked, send_idx, mesh)
+        fwd = make_partitioned_forward(model, STATS, mesh, scale_output=True)
+        local = np.asarray(fwd(params, stacked, send_idx))
+    got = _reassemble(local, batch, 4)
+    real = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(got[real], ref[real], rtol=5e-4, atol=5e-5)
+
+
 def test_fused_padding_invariance():
     from p_div_gnn_tpu.graphs import pack_batch as _pack
 
