@@ -12,6 +12,9 @@ from p_div_gnn_tpu.parallel.partition import (
 )
 
 __all__ = [
+    "ensure_distributed",
+    "global_data_mesh",
+    "pack_global_batch",
     "device_put_partitioned",
     "device_put_sharded_batch",
     "make_dp_eval_step",
@@ -21,3 +24,8 @@ __all__ = [
     "pack_sharded_batch",
     "partition_batch",
 ]
+from p_div_gnn_tpu.parallel.multihost import (
+    ensure_distributed,
+    global_data_mesh,
+    pack_global_batch,
+)

@@ -174,7 +174,30 @@ def make_dp_eval_step(
 
 
 def device_put_sharded_batch(batch: GraphBatch, mesh: Mesh, axis: str = "data"):
+    """Place a host-stacked batch onto the mesh, one shard per device.
+
+    Under multi-process execution (jax.distributed initialized, mesh over
+    the GLOBAL device list) every process runs this with the SAME
+    deterministic host batch and contributes only the rows of its own
+    addressable devices — which makes the single-controller DP loop work
+    unchanged across hosts."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        local_ids = {d.id for d in jax.local_devices()}
+        mesh_devs = list(mesh.devices.ravel())
+        rows = np.array(
+            [i for i, d in enumerate(mesh_devs) if d.id in local_ids]
+        )
+
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim == 0:
+                return x
+            return jax.make_array_from_process_local_data(
+                sharding, x[rows], x.shape
+            )
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(x), sharding), batch
     )

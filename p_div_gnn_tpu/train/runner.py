@@ -239,4 +239,11 @@ def main(config_path: str) -> None:
     with open(config_path) as fh:
         params = yaml.safe_load(fh)
     params["config_path"] = Path(config_path)
+    if params.pop("multihost", False):
+        # must run before the first backend-initializing JAX call; with
+        # multihost on, jax.devices() is the GLOBAL device list and the
+        # data_parallel mesh spans hosts (collectives ride ICI + DCN)
+        from p_div_gnn_tpu.parallel.multihost import ensure_distributed
+
+        ensure_distributed()
     run_experience(**params)
