@@ -177,6 +177,18 @@ def main(
             if topk:
                 _topk_report(metrics, name, out, topk)
                 render_topk_fields(gt_df, folder, name, out)
+    if figures_folder and topk and len(model_names) >= 2:
+        # highest-difference sample fan-out between the first two models
+        # (`compare_results.py:1394-1433` selects samples where the models
+        # disagree most)
+        a, b = model_names[0], model_names[1]
+        diff = np.abs(
+            results[a]["nmse"].to_numpy() - results[b]["nmse"].to_numpy()
+        )
+        idx = topk_indices(diff, topk, largest=True)
+        (Path(figures_folder) / f"topk_diff_{a}_vs_{b}.json").write_text(
+            json.dumps({"highest_difference": idx.tolist()}, indent=2)
+        )
     return results
 
 
