@@ -18,10 +18,15 @@ import time
 def train_main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pdg-train")
     p.add_argument("--config_path", required=True)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the run's last-epoch checkpoint (overrides the "
+        "config's resume key; used by scripts/train_watchdog.sh restarts)",
+    )
     args = p.parse_args(argv)
     from p_div_gnn_tpu.train.runner import main
 
-    main(args.config_path)
+    main(args.config_path, resume_override=True if args.resume else None)
 
 
 def infer_main(argv: list[str] | None = None) -> None:

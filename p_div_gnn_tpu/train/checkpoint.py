@@ -40,7 +40,12 @@ def save_checkpoint(
         "stats": stats.to_dict(),
     }
     data = flax.serialization.msgpack_serialize(payload)
-    Path(path).write_bytes(data)
+    # atomic write: a crash/kill mid-save must not corrupt the checkpoint
+    # a restart resumes from
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.replace(path)
 
 
 def load_checkpoint(

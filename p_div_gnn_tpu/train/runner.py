@@ -235,10 +235,12 @@ def _run_data_parallel(
     return train_losses, test_losses
 
 
-def main(config_path: str) -> None:
+def main(config_path: str, resume_override: bool | None = None) -> None:
     with open(config_path) as fh:
         params = yaml.safe_load(fh)
     params["config_path"] = Path(config_path)
+    if resume_override is not None:
+        params["resume"] = resume_override
     if params.pop("multihost", False):
         # must run before the first backend-initializing JAX call; with
         # multihost on, jax.devices() is the GLOBAL device list and the
