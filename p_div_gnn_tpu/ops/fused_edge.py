@@ -194,25 +194,28 @@ def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
         ),
     )
     with _maybe_interpret():
-        return pl.pallas_call(
-        functools.partial(_step_kernel, n_graphs=n_graphs),
-        out_shape=(
-            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
-            jax.ShapeDtypeStruct((Np, L), jnp.float32),
-            jax.ShapeDtypeStruct((8, L), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Ep * L * (3 * NODE_TILE + 2 * L),
-            bytes_accessed=Ep * L * 12 + Ep * 8
-            + n_blocks * NODE_TILE * L * 8,
-            transcendentals=0,
-        ),
-    )(block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, rcv2d, gid2d,
-      w2, b2.reshape(1, L))
+        call = pl.pallas_call(
+            functools.partial(_step_kernel, n_graphs=n_graphs),
+            out_shape=(
+                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),
+                jax.ShapeDtypeStruct((8, L), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Ep * L * (3 * NODE_TILE + 2 * L),
+                bytes_accessed=Ep * L * 12 + Ep * 8
+                + n_blocks * NODE_TILE * L * 8,
+                transcendentals=0,
+            ),
+        )
+        return call(
+            block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, rcv2d,
+            gid2d, w2, b2.reshape(1, L),
+        )
 
 
 def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
@@ -339,21 +342,24 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
         ),
     )
     with _maybe_interpret():
-        return pl.pallas_call(
-        functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
-        out_shape=(
-            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
-            jax.ShapeDtypeStruct((Ep, L), jnp.float32),
-            jax.ShapeDtypeStruct((Np, L), jnp.float32),
-            jax.ShapeDtypeStruct((Np, L), jnp.float32),
-            jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, z_upd, dz_upd,
-      dr, dm, rcv2d, gid2d, w2, b2.reshape(1, L))
+        call = pl.pallas_call(
+            functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
+            out_shape=(
+                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),
+                jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )
+        return call(
+            block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, z_upd,
+            dz_upd, dr, dm, rcv2d, gid2d, w2, b2.reshape(1, L),
+        )
 
 
 def _step_fwd(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):

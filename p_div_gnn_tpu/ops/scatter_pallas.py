@@ -118,19 +118,22 @@ def _forward(messages, receivers, block_tile, num_nodes):
         ),
     )
     with _maybe_interpret():
-        return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Ep * NODE_TILE * L,
-            bytes_accessed=Ep * L * 4 + Ep * 4 + num_nodes * L * 4,
-            transcendentals=0,
-        ),
-    )(block_tile.astype(jnp.int32), messages.astype(jnp.float32), rcv2d)
+        call = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Ep * NODE_TILE * L,
+                bytes_accessed=Ep * L * 4 + Ep * 4 + num_nodes * L * 4,
+                transcendentals=0,
+            ),
+        )
+        return call(
+            block_tile.astype(jnp.int32), messages.astype(jnp.float32), rcv2d
+        )
 
 
 def _fwd(messages, receivers, block_tile, num_nodes):
