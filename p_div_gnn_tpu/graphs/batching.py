@@ -48,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-EDGE_BLOCK = 256  # Pallas scatter kernel block size (ops/scatter_pallas.py)
+EDGE_BLOCK = 128  # Pallas scatter kernel block size (ops/scatter_pallas.py)
 
 
 def blockify_edges(
