@@ -1,7 +1,9 @@
 """Data-parallel training loop: Trainer semantics over a device mesh.
 
-Drop-in multi-chip variant of train.loop.Trainer (enabled by the
-``data_parallel: true`` config key): batches are packed per-device with
+Drop-in multi-chip variant of train.loop.Trainer — which itself twins the
+reference `train()` (`/root/reference/scripts/gnn_train.py:95-305`); the
+reference has no distributed counterpart (SURVEY §2). Enabled by the
+``data_parallel: true`` config key: batches are packed per-device with
 uniform capacities, the step runs under shard_map with collective-aware
 LN/loss/grad handling (parallel/dp.py), and the checkpoint/early-stopping
 policy is identical to the single-chip loop.
