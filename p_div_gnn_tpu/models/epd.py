@@ -76,6 +76,12 @@ class Processor(nn.Module):
 
     latent_size: int
     scatter_impl: str = "xla"
+    # "bfloat16" = speed mode for the fused path: the four big per-edge
+    # streams (s_msg, s_upd, z_upd and their backward cotangents) are
+    # stored bf16, halving the dominant HBM traffic; all MXU contractions,
+    # accumulators, LN moments, residual carries and parameters stay fp32.
+    # Off by default (parity with the reference's fp32 training).
+    stream_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -133,11 +139,17 @@ class Processor(nn.Module):
             # sender gather + e-projection + first bias; edge update:
             # slots swapped), the RAW message scatter R and the graph-LN
             # moment partials M — z_msg is never materialized in HBM.
-            s_msg = proj_v[snd] + e_proj + edge_b0
-            s_upd = proj_u[snd] + e_proj + edge_b0
+            sd = (
+                jnp.bfloat16 if self.stream_dtype == "bfloat16"
+                else jnp.float32
+            )
+            s_msg = (proj_v[snd] + e_proj + edge_b0).astype(sd)
+            s_upd = (proj_u[snd] + e_proj + edge_b0).astype(sd)
             z_upd, r_raw, m = fused_edge_step(
-                proj_u[:Np], proj_v[:Np], s_msg, s_upd,
-                edge_lin1_k, edge_lin1_b, rcv, aux, G,
+                proj_u[:Np].astype(sd), proj_v[:Np].astype(sd),
+                s_msg, s_upd,
+                edge_lin1_k.astype(sd), edge_lin1_b.astype(sd),
+                rcv, aux, G,
             )
             # lazy graph-LN: fold the affine into the consumers.
             # aggr_i = Σ_real (z·α1 + β1) = α1·R_i + β1·deg_i.
@@ -206,6 +218,7 @@ class EncodeProcessDecode(nn.Module):
     input_edges_features_size: int = 1
     output_nodes_features_size: int = 3
     scatter_impl: str = "xla"
+    stream_dtype: str = "float32"  # "bfloat16": fused-path speed mode
     # lax.scan over the weight-tied processor keeps the compiled program a
     # single step long (the reference re-applies ONE Processor instance,
     # models.py:313-314, so scanning is semantically identical); unrolling
@@ -257,7 +270,8 @@ class EncodeProcessDecode(nn.Module):
             e_in, edge_mask, axis_name
         )
         processor = Processor(
-            self.latent_size, scatter_impl=self.scatter_impl, name="processor"
+            self.latent_size, scatter_impl=self.scatter_impl,
+            stream_dtype=self.stream_dtype, name="processor"
         )
         if self.unroll_steps:
             for _ in range(self.message_passing_steps):

@@ -73,6 +73,11 @@ def _maybe_interpret():
 def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
                  rcv_ref, gid_ref, w2_ref, b2_ref,
                  z_upd_ref, r_ref, m_ref, *, n_graphs: int):
+    # dtype-generic: streams (a/s/w2/b2/z_upd) may be bf16 (speed mode,
+    # halved HBM traffic) or fp32 (parity mode); all MXU contractions
+    # accumulate fp32 and the R/M accumulators stay fp32 either way.
+    dt = s_msg_ref.dtype
+    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -81,31 +86,31 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    onehot = (col_ids == rcv_local).astype(jnp.float32)
+    onehot = (col_ids == rcv_local).astype(dt)  # 0/1: exact in bf16
     mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
 
     def edge_mlp(a_ref, s_ref):
         a_rows = jax.lax.dot_general(
             onehot, a_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            preferred_element_type=jnp.float32, precision=prec,
         )
-        h = jnp.maximum(a_rows + s_ref[:, :], 0.0)
+        h = jnp.maximum(a_rows + s_ref[:, :].astype(jnp.float32), 0.0)
         y = jax.lax.dot_general(
-            h, w2_ref[:, :],
+            h.astype(dt), w2_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        ) + b2_ref[0, :]
+            preferred_element_type=jnp.float32, precision=prec,
+        ) + b2_ref[0, :].astype(jnp.float32)
         return jnp.maximum(y, 0.0) * mask
 
     z_msg = edge_mlp(a_u_ref, s_msg_ref)
     z_upd = edge_mlp(a_v_ref, s_upd_ref)
-    z_upd_ref[:, :] = z_upd
+    z_upd_ref[:, :] = z_upd.astype(dt)
 
     r_contrib = jax.lax.dot_general(
-        onehot, z_msg,
+        onehot, z_msg.astype(dt),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
     @pl.when(tile_first)
@@ -197,9 +202,9 @@ def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
         call = pl.pallas_call(
             functools.partial(_step_kernel, n_graphs=n_graphs),
             out_shape=(
-                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
-                jax.ShapeDtypeStruct((Np, L), jnp.float32),
-                jax.ShapeDtypeStruct((8, L), jnp.float32),
+                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),  # z_upd stream
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),  # R accumulator
+                jax.ShapeDtypeStruct((8, L), jnp.float32),  # M partials
             ),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -230,6 +235,8 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     (grid-consecutive by the block-aligned CSR layout); dW2/db2 accumulate
     in one revisited (L+8, L) block — the TPU grid is sequential so
     read-modify-write is safe."""
+    dt = s_msg_ref.dtype
+    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -238,21 +245,22 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    onehot = (col_ids == rcv_local).astype(jnp.float32)
+    onehot = (col_ids == rcv_local).astype(dt)
     mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
 
     def mm(x, y, dims):
+        # MXU pass in the stream dtype, fp32 accumulation
         return jax.lax.dot_general(
-            x, y, dimension_numbers=(dims, ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            x.astype(dt), y.astype(dt), dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     # --- message path (z_msg recomputed; it was never written in fwd; the
     # fwd masked z_msg, so the recomputed value must be re-masked before the
     # relu gate or padding edges would leak gradient) ---
     a_u_rows = mm(onehot, a_u_ref[:, :], ((1,), (0,)))
-    h1 = jnp.maximum(a_u_rows + s_msg_ref[:, :], 0.0)
-    y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2_ref[0, :]
+    h1 = jnp.maximum(a_u_rows + s_msg_ref[:, :].astype(jnp.float32), 0.0)
+    y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2_ref[0, :].astype(jnp.float32)
     z_msg = jnp.maximum(y1, 0.0) * mask
 
     g_r = mm(onehot, dr_ref[:, :], ((1,), (0,)))  # dR gathered at receivers
@@ -263,17 +271,18 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
 
     # --- edge-update path (z_upd streamed from fwd) ---
     a_v_rows = mm(onehot, a_v_ref[:, :], ((1,), (0,)))
-    h2 = jnp.maximum(a_v_rows + s_upd_ref[:, :], 0.0)
-    z_upd = z_upd_ref[:, :]
+    h2 = jnp.maximum(a_v_rows + s_upd_ref[:, :].astype(jnp.float32), 0.0)
+    z_upd = z_upd_ref[:, :].astype(jnp.float32)
     dz_upd = (
-        dz_upd_ref[:, :] + dm_ref[2:3, :] + 2.0 * dm_ref[3:4, :] * z_upd
+        dz_upd_ref[:, :].astype(jnp.float32)
+        + dm_ref[2:3, :] + 2.0 * dm_ref[3:4, :] * z_upd
     )
     dy2 = dz_upd * (z_upd > 0)
     dh2 = mm(dy2, w2_ref[:, :], ((1,), (1,)))
     dpre2 = dh2 * (h2 > 0)
 
-    ds_msg_ref[:, :] = dpre1
-    ds_upd_ref[:, :] = dpre2
+    ds_msg_ref[:, :] = dpre1.astype(dt)
+    ds_upd_ref[:, :] = dpre2.astype(dt)
 
     da_u = mm(onehot, dpre1, ((0,), (0,)))
     da_v = mm(onehot, dpre2, ((0,), (0,)))
@@ -345,8 +354,11 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
         call = pl.pallas_call(
             functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
             out_shape=(
-                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
-                jax.ShapeDtypeStruct((Ep, L), jnp.float32),
+                # stream cotangents in the stream dtype; the dA/dW2/db2
+                # ACCUMULATORS stay fp32 (revisited-block accumulation) and
+                # are cast to the input dtypes in _step_bwd
+                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),
+                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
                 jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
@@ -378,7 +390,16 @@ def _step_bwd(n_graphs, res, cot):
         z_upd, dz_upd, dr, dm, n_graphs,
     )
     L = w2.shape[0]
-    return (da_u, da_v, ds_msg, ds_upd, dwb[:L], dwb[L], None, None)
+    return (
+        da_u.astype(a_u.dtype),
+        da_v.astype(a_v.dtype),
+        ds_msg,
+        ds_upd,
+        dwb[:L].astype(w2.dtype),
+        dwb[L].astype(b2.dtype),
+        None,
+        None,
+    )
 
 
 fused_edge_step.defvjp(_step_fwd, _step_bwd)

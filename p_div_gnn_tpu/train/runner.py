@@ -65,6 +65,7 @@ def run_experience(
     monitor_divergence_in_test: bool = False,
     config_path: Path | str = Path(""),
     scatter_impl: str = "xla",
+    stream_dtype: str = "float32",
     data_parallel: bool = False,
     resume: bool = False,
     cache_train_batches: bool = False,
@@ -113,6 +114,7 @@ def run_experience(
         input_edges_features_size=1,
         output_nodes_features_size=3,
         scatter_impl=scatter_impl,
+        stream_dtype=stream_dtype,
     )
     if data_parallel and len(jax.devices()) > 1:
         return _run_data_parallel(

@@ -152,3 +152,39 @@ def test_fused_padding_invariance():
         o2 = np.asarray(model.apply(params, b2, STATS))
     n = s.num_nodes
     np.testing.assert_allclose(o1[:n], o2[:n], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bf16_stream_mode_close_to_fp32():
+    """Speed mode: bf16 streams, fp32 accumulation — outputs and gradients
+    stay within bf16-scale tolerance of the fp32 fused path."""
+    samples = [_mesh_sample(7, nx=5)]
+    batch = pack_batch(samples, n_graphs=1)
+    base = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    params = base.init(jax.random.PRNGKey(5), batch, STATS)
+
+    def run(dtype):
+        model = EncodeProcessDecode(
+            latent_size=16, message_passing_steps=2, scatter_impl="fused",
+            stream_dtype=dtype, remat_steps=False,
+        )
+
+        def loss(p):
+            out = model.apply(p, batch, STATS, scale_output=False)
+            return jnp.sum((out * batch.node_mask[:, None]) ** 2), out
+
+        with pltpu.force_tpu_interpret_mode():
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return l, out, g
+
+    l32, o32, g32 = run("float32")
+    l16, o16, g16 = run("bfloat16")
+    real = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(o16)[real], np.asarray(o32)[real], rtol=0.1, atol=0.05
+    )
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.1)
+    # gradient direction must agree (cosine similarity)
+    v16 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g16)])
+    v32 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g32)])
+    cos = float(v16 @ v32 / (np.linalg.norm(v16) * np.linalg.norm(v32) + 1e-12))
+    assert cos > 0.99, cos
