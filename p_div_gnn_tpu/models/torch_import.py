@@ -96,6 +96,76 @@ def params_from_state_dict(state: dict) -> dict:
     }
 
 
+def state_dict_from_params(params: dict) -> dict:
+    """Inverse mapping: flax params → reference-layout torch state_dict
+    (numpy arrays; pass through ``torch.tensor`` before ``load_state_dict``).
+
+    Lets a framework-trained checkpoint run under the reference
+    implementation (`models.py:66-87` loads exactly these keys) — the
+    export half of the activation-parity bridge.
+    """
+    p = params["params"] if "params" in params else params
+
+    def block(prefix: str, m: dict, has_ln: bool = True) -> dict:
+        out = {
+            f"{prefix}.0.weight": _t(m["lin0"]["kernel"]),
+            f"{prefix}.0.bias": _a(m["lin0"]["bias"]),
+            f"{prefix}.2.weight": _t(m["lin1"]["kernel"]),
+            f"{prefix}.2.bias": _a(m["lin1"]["bias"]),
+        }
+        if has_ln:
+            out[f"{prefix}.4.weight"] = _a(m["ln"]["weight"])
+            out[f"{prefix}.4.bias"] = _a(m["ln"]["bias"])
+        return out
+
+    proc = p["processor"]
+    sd = {}
+    sd.update(block("node_encoder", p["node_encoder"]))
+    sd.update(block("edge_encoder", p["edge_encoder"]))
+    sd.update(block("node_decoder", p["node_decoder"], has_ln=False))
+    ew = np.concatenate(
+        [_a(proc["edge_w_u"]), _a(proc["edge_w_v"]), _a(proc["edge_w_e"])],
+        axis=0,
+    )  # (3L, L) in flax (in, out) layout → transpose to torch (out, in)
+    nw = np.concatenate([_a(proc["node_w_a"]), _a(proc["node_w_x"])], axis=0)
+    sd["processor.edge_net.0.weight"] = np.ascontiguousarray(ew.T)
+    sd["processor.edge_net.0.bias"] = _a(proc["edge_b0"])
+    sd["processor.node_net.0.weight"] = np.ascontiguousarray(nw.T)
+    sd["processor.node_net.0.bias"] = _a(proc["node_b0"])
+    sd.update(
+        {
+            "processor.edge_net.2.weight": _t(proc["edge_lin1"]["kernel"]),
+            "processor.edge_net.2.bias": _a(proc["edge_lin1"]["bias"]),
+            "processor.edge_net.4.weight": _a(proc["edge_ln"]["weight"]),
+            "processor.edge_net.4.bias": _a(proc["edge_ln"]["bias"]),
+            "processor.node_net.2.weight": _t(proc["node_lin1"]["kernel"]),
+            "processor.node_net.2.bias": _a(proc["node_lin1"]["bias"]),
+            "processor.node_net.4.weight": _a(proc["node_ln"]["weight"]),
+            "processor.node_net.4.bias": _a(proc["node_ln"]["bias"]),
+        }
+    )
+    return sd
+
+
+def save_torch_checkpoint(
+    path: str | Path, params: dict, stats: NormStats, epoch: int = 0
+) -> None:
+    """Write a reference-format .pth checkpoint (`models.py:44-63` layout)
+    from framework params — runnable by the actual reference code."""
+    import torch
+
+    ckpt: dict = {
+        "model_state_dict": {
+            k: torch.tensor(v) for k, v in state_dict_from_params(params).items()
+        },
+        "optimizer_state_dict": {},
+        "epoch": epoch,
+    }
+    for k in NormStats.__dataclass_fields__:
+        ckpt[k] = torch.tensor(float(getattr(stats, k)))
+    torch.save(ckpt, path)
+
+
 def load_torch_checkpoint(path: str | Path) -> tuple[dict, NormStats, int]:
     """Load a reference .pth checkpoint → (flax params, stats, epoch)."""
     import torch

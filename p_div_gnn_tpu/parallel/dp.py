@@ -84,6 +84,47 @@ def pack_sharded_batch(
     return stacked
 
 
+class DPGraphLoader:
+    """Shuffled loader yielding device-sharded stacked batches (the DP
+    counterpart of train.data.GraphLoader)."""
+
+    def __init__(
+        self,
+        samples: list[GraphSample],
+        batch_size: int,
+        mesh: Mesh,
+        shuffle: bool = False,
+        seed: int = 0,
+    ):
+        self.samples = samples
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        assert batch_size % self.n_shards == 0, (
+            f"batch_size {batch_size} must divide across {self.n_shards} "
+            "devices"
+        )
+        self.graphs_per_shard = batch_size // self.n_shards
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return (len(self.samples) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            stacked = pack_sharded_batch(
+                [self.samples[i] for i in idx],
+                n_shards=self.n_shards,
+                graphs_per_shard=self.graphs_per_shard,
+            )
+            yield device_put_sharded_batch(stacked, self.mesh)
+
+
 def make_dp_train_step(
     model,
     stats: NormStats,

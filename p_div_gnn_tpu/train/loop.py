@@ -34,22 +34,67 @@ from p_div_gnn_tpu.train.logging import MetricsWriter
 
 @dataclass
 class Trainer:
+    """Single-chip trainer; pass ``mesh`` for data-parallel execution with
+    identical semantics (collective-aware LN/loss/grads via parallel/dp.py)
+    — same checkpoint policy, metric accumulation, resume, and divergence
+    monitoring in both modes."""
+
     model: EncodeProcessDecode
     stats: NormStats
     learning_rate: float = 1e-3
     divergence_penalty: float = 1.0
     optimize_divergence: bool = True
     monitor_divergence_in_test: bool = False
+    mesh: Any | None = None  # jax.sharding.Mesh → DP over its 'data' axis
 
     def __post_init__(self):
         # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8
         # (`gnn_train.py:118`); optax.adam matches bias correction + eps
         # placement (outside the sqrt).
         self.optimizer = optax.adam(self.learning_rate)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if self.mesh is None:
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0, 1)
+            )
+            self._eval_step = jax.jit(self._eval_step_impl)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from p_div_gnn_tpu.parallel.dp import make_dp_train_step
+
+            self._train_step = make_dp_train_step(
+                self.model,
+                self.stats,
+                self.optimizer,
+                self.mesh,
+                divergence_penalty=self.divergence_penalty,
+                optimize_divergence=self.optimize_divergence,
+            )
+
+            def eval_shard(params, stacked):
+                local = jax.tree.map(lambda x: x[0], stacked)
+                return self._eval_metrics(params, local, axis_name="data")
+
+            self._eval_step = jax.jit(
+                shard_map(
+                    eval_shard,
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
 
     def init(self, rng: jax.Array, batch: GraphBatch):
+        if self.mesh is not None:
+            # DP batches carry a leading shard axis; init on one shard
+            import numpy as np
+
+            batch = jax.tree.map(
+                lambda x: np.asarray(x)[0] if getattr(x, "ndim", 0) else x,
+                batch,
+            )
         params = self.model.init(rng, batch, self.stats)
         opt_state = self.optimizer.init(params)
         return params, opt_state
@@ -81,23 +126,30 @@ class Trainer:
         aux["total"] = total
         return params, opt_state, aux
 
-    def _eval_step_impl(self, params, batch: GraphBatch):
+    def _eval_metrics(self, params, batch: GraphBatch, axis_name=None):
         pred = self.model.apply(
-            params, batch, self.stats, scale_input=True, scale_output=False
+            params, batch, self.stats,
+            scale_input=True, scale_output=False, axis_name=axis_name,
         )
         gt = (
             batch.local_stress - self.stats.mean_local_stress
         ) / self.stats.std_local_stress
-        total, aux = batch_loss(batch, pred, gt, 0.0, False)
+        total, aux = batch_loss(batch, pred, gt, 0.0, False,
+                                axis_name=axis_name)
         if self.monitor_divergence_in_test:
             gmask = batch.graph_mask.astype(pred.dtype)
-            n_real = jnp.maximum(jnp.sum(gmask), 1.0)
-            aux["divergence"] = (
-                jnp.sum(per_graph_divergence(batch, pred) * gmask) / n_real
-            )
+            div_sum = jnp.sum(per_graph_divergence(batch, pred) * gmask)
+            n_real = jnp.sum(gmask)
+            if axis_name is not None:
+                div_sum = jax.lax.psum(div_sum, axis_name)
+                n_real = jax.lax.psum(n_real, axis_name)
+            aux["divergence"] = div_sum / jnp.maximum(n_real, 1.0)
             total = total + aux["divergence"]
         aux["total"] = total
         return aux
+
+    def _eval_step_impl(self, params, batch: GraphBatch):
+        return self._eval_metrics(params, batch)
 
     # ------------------------------------------------------------------
     def fit(

@@ -116,22 +116,18 @@ def run_experience(
         scatter_impl=scatter_impl,
         stream_dtype=stream_dtype,
     )
+    mesh = None
     if data_parallel and len(jax.devices()) > 1:
-        return _run_data_parallel(
-            model=model,
-            train_ds=train_ds,
-            test_ds=test_ds,
-            results=results,
-            epochs=epochs,
-            batch_size=batch_size,
-            learning_rate=learning_rate,
-            divergence=divergence,
-            divergence_penalty=divergence_penalty,
-            early_stopping_limit=early_stopping_limit,
-            train_all_epochs=train_all_epochs,
-            config_path=config_path,
-            rng=rng,
+        from jax.sharding import Mesh
+
+        from p_div_gnn_tpu.parallel.dp import DPGraphLoader
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        print(f"Data-parallel training over {mesh.devices.size} devices")
+        train_loader = DPGraphLoader(
+            train_ds.samples, batch_size, mesh, shuffle=True, seed=SEED
         )
+        test_loader = DPGraphLoader(test_ds.samples, batch_size, mesh)
     trainer = Trainer(
         model=model,
         stats=train_ds.stats,  # TRAIN-set stats (`gnn_train.py:397-411`)
@@ -139,6 +135,7 @@ def run_experience(
         divergence_penalty=divergence_penalty,
         optimize_divergence=divergence,
         monitor_divergence_in_test=monitor_divergence_in_test,
+        mesh=mesh,
     )
     first_batch = next(iter(test_loader))
     params, opt_state = trainer.init(rng, first_batch)
@@ -178,61 +175,6 @@ def run_experience(
             early_stopping_limit=early_stopping_limit,
             train_all_epochs=train_all_epochs,
             start_epoch=start_epoch,
-        )
-    return train_losses, test_losses
-
-
-def _run_data_parallel(
-    model,
-    train_ds,
-    test_ds,
-    results: Path,
-    epochs: int,
-    batch_size: int,
-    learning_rate: float,
-    divergence: bool,
-    divergence_penalty: float,
-    early_stopping_limit: int,
-    train_all_epochs: bool,
-    config_path,
-    rng,
-) -> tuple[list[float], list[float]]:
-    import numpy as _np
-    from jax.sharding import Mesh
-
-    from p_div_gnn_tpu.train.dp_loop import DPGraphLoader, DPTrainer
-
-    mesh = Mesh(_np.array(jax.devices()), ("data",))
-    print(f"Data-parallel training over {mesh.devices.size} devices")
-    train_loader = DPGraphLoader(
-        train_ds.samples, batch_size, mesh, shuffle=True, seed=SEED
-    )
-    test_loader = DPGraphLoader(test_ds.samples, batch_size, mesh)
-    trainer = DPTrainer(
-        model=model,
-        stats=train_ds.stats,
-        mesh=mesh,
-        learning_rate=learning_rate,
-        divergence_penalty=divergence_penalty,
-        optimize_divergence=divergence,
-    )
-    first = next(iter(test_loader))
-    params, opt_state = trainer.init(rng, first)
-    print(f"EncodeProcessDecode params: {count_params(params)}")
-    if str(config_path):
-        results.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(config_path, results / Path(config_path).name)
-    with MetricsWriter(results / "train_logs") as writer:
-        _, _, train_losses, test_losses = trainer.fit(
-            params,
-            opt_state,
-            train_loader,
-            test_loader,
-            epochs=epochs,
-            weights_folder=results / "weights",
-            writer=writer,
-            early_stopping_limit=early_stopping_limit,
-            train_all_epochs=train_all_epochs,
         )
     return train_losses, test_losses
 

@@ -45,11 +45,26 @@ def main() -> None:
 
     sample = load_sample(args.mesh, args.data, periodic_graph=args.periodic)
     batch = pack_batch([sample], n_graphs=1)
-    params, stats, epoch = load_torch_checkpoint(args.checkpoint)
     model = EncodeProcessDecode(
         latent_size=args.latent_size,
         message_passing_steps=args.message_passing_steps,
     )
+    if args.checkpoint.endswith(".ckpt"):
+        # framework msgpack checkpoint → params + stats directly
+        import jax
+
+        from p_div_gnn_tpu.graphs.container import NormStats
+        from p_div_gnn_tpu.train.checkpoint import load_checkpoint
+
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), batch, NormStats.ones())
+        )
+        template = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), template
+        )
+        params, _, epoch, stats = load_checkpoint(args.checkpoint, template)
+    else:
+        params, stats, epoch = load_torch_checkpoint(args.checkpoint)
     ours = np.asarray(
         model.apply(params, batch, stats, scale_input=True, scale_output=True)
     )[: sample.num_nodes]
@@ -67,8 +82,43 @@ def main() -> None:
               f"allclose={ok}")
         sys.exit(0 if ok else 1)
     except ImportError:
-        print("torch_geometric unavailable — comparing against the builtin "
-              "float64 golden model of the reference math instead")
+        print("torch_geometric unavailable — comparing against the pure-torch"
+              " twin of the reference (tests/torch_reference.py) and the"
+              " builtin float64 golden model instead")
+        import torch
+
+        from p_div_gnn_tpu.models.torch_import import state_dict_from_params
+        from torch_reference import TorchEncodeProcessDecode
+
+        tm = TorchEncodeProcessDecode(
+            latent_size=args.latent_size,
+            message_passing_steps=args.message_passing_steps,
+            stats=stats.to_dict(),
+        )
+        tm.load_state_dict(
+            {k: torch.tensor(v)
+             for k, v in state_dict_from_params(params).items()}
+        )
+        tm.eval()
+        with torch.no_grad():
+            tref = tm(
+                pos=torch.tensor(sample.graph.pos[:, :2],
+                                 dtype=torch.float32),
+                mean_stress=torch.tensor(np.broadcast_to(
+                    sample.mean_stress, (sample.num_nodes, 3)).copy()),
+                nodes_types=torch.tensor(sample.node_labels[:, None],
+                                         dtype=torch.float32),
+                edge_index=torch.tensor(sample.graph.edge_index,
+                                        dtype=torch.long),
+                edge_weight=torch.tensor(sample.graph.edge_weight,
+                                         dtype=torch.float32),
+                scale_output=True,
+            ).numpy()
+        tdiff = np.abs(ours - tref)
+        tok = np.allclose(ours, tref, rtol=args.rtol, atol=args.atol)
+        print(f"torch-twin comparison: max abs diff {tdiff.max():.3e} "
+              f"allclose={tok}")
+
         from numpy_golden import extract_golden_weights, golden_forward
 
         weights = extract_golden_weights(params)
@@ -87,7 +137,7 @@ def main() -> None:
         ok = np.allclose(ours, golden, rtol=args.rtol, atol=args.atol)
         print(f"golden comparison: max abs diff {diff.max():.3e} "
               f"allclose={ok}")
-        sys.exit(0 if ok else 1)
+        sys.exit(0 if (ok and tok) else 1)
 
 
 def _run_reference(args, sample):
