@@ -118,3 +118,49 @@ def test_mesh_determinism():
     m2 = hole_plate_mesh(100, 100, 15, (40, 60), 5, 9, seed=7)
     np.testing.assert_array_equal(m1.points, m2.points)
     np.testing.assert_array_equal(m1.faces, m2.faces)
+
+
+def test_kirsch_stress_concentration():
+    """Independent analytic validation (VERDICT round-1 item 9): a small
+    hole in a large plate under remote uniaxial tension must show the
+    Kirsch solution — hoop stress 3·σ∞ at the top/bottom of the hole and
+    −σ∞ at the sides — and converge toward it with mesh refinement.
+    This breaks the closed loop of validating the FEM only against
+    itself: the target comes from the classical elasticity solution,
+    not from this solver."""
+    from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh
+
+    E, nu, sig, W, a = 1e5, 0.3, 100.0, 100.0, 6.0
+
+    def scf_at(refinement, hole_factor):
+        mesh = hole_plate_mesh(
+            W, W, radius=a, hole_center=(W / 2, W / 2),
+            hole_refinement_factor=hole_factor,
+            global_mesh_refinement_size=refinement, seed=1,
+        )
+        pts = mesh.points[:, :2]
+        res = solve_periodic_rve(
+            pts, mesh.faces, eps_xx=sig / E, eps_yy=-nu * sig / E,
+            gamma_xy=0.0, young_modulus=E, poisson_ratio=nu,
+        )
+        c = np.array([W / 2, W / 2])
+        r = np.linalg.norm(pts - c, axis=1)
+        hole = r < a * 1.05
+        ang = np.arctan2(pts[hole, 1] - c[1], pts[hole, 0] - c[0])
+        topbot = np.abs(np.abs(ang) - np.pi / 2) < 0.25
+        side = np.minimum(np.abs(ang), np.abs(np.abs(ang) - np.pi)) < 0.25
+        scf = res.stress_nodes[hole, 0][topbot].max() / res.mean_stress[0]
+        side_hoop = (
+            res.stress_nodes[hole, 1][side].min() / res.mean_stress[0]
+        )
+        return scf, side_hoop
+
+    scf_coarse, _ = scf_at(4.0, 20.0)
+    scf_fine, side_fine = scf_at(2.5, 30.0)
+    # Kirsch: SCF → 3 (finite hole/plate ratio a/W=0.12 + nodal smoothing
+    # keep the discrete value slightly below), side hoop → −1.
+    assert abs(scf_fine - 3.0) < 0.15, scf_fine
+    assert abs(side_fine + 1.0) < 0.15, side_fine
+    # mesh convergence: refinement must not move AWAY from the analytic
+    # value (small slack for the coarse mesh's luck-of-the-nodes)
+    assert abs(scf_fine - 3.0) <= abs(scf_coarse - 3.0) + 0.02
