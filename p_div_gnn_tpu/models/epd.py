@@ -54,20 +54,45 @@ class Halo(flax.struct.PyTreeNode):
 
     Each shard owns a contiguous node range; edges live with their
     receiver's owner, and senders may reference remote nodes. Per
-    message-passing step every shard all-gathers a fixed-size buffer of its
-    ``send_idx`` nodes over the ``axis_name`` mesh axis; edge sender
-    indices are pre-encoded in the extended address space
-    ``[local 0..Nl) ++ [ghost Nl + d*H + slot)``.
+    message-passing step every shard publishes the ghost values its peers
+    need over the ``axis_name`` mesh axis; edge sender indices are
+    pre-encoded in the extended address space ``[local 0..Nl) ++ ghosts``.
+
+    Two wire formats (chosen by ``send_idx`` rank — the planner decides):
+
+    - ``(H,)`` *all-gather* (v1): each shard broadcasts the UNION of nodes
+      any peer needs; ghost slot of node g owned by o is ``Nl + o·H + s``.
+      Simple, but traffic/memory is O(D·H) with H the max union size.
+    - ``(D, Hp)`` *all-to-all* (v2): row r holds the slots this shard sends
+      to peer r only; ghost slot is ``Nl + o·Hp + s`` with s the slot in
+      the (o→me) pair list. Traffic is O(D·Hp) with Hp the max PER-PAIR
+      size — for contiguous ranges of a planar mesh each shard talks to
+      ~2-4 neighbors, so Hp ≪ H and most of the all-gather's replication
+      is gone (VERDICT round-1 weak #3).
     """
 
-    send_idx: jax.Array  # (H,) local node indices to publish each step
+    # (H,) shared publish list, or (D, Hp) per-peer rows (see above)
+    send_idx: jax.Array
     axis_name: str = flax.struct.field(pytree_node=False, default="graph")
 
+    def exchange_ghosts(self, x_local: jax.Array) -> jax.Array:
+        """Collective only — returns the (D·H[p], C) ghost block. Callers
+        that consume ghosts through a separate matmul keep this collective
+        independent of their local compute, letting XLA's latency-hiding
+        scheduler overlap the exchange with local work."""
+        buf = x_local[self.send_idx]
+        if self.send_idx.ndim == 2:
+            # (D, Hp, C): row r → peer r; received row o = from peer o
+            recv = jax.lax.all_to_all(
+                buf, self.axis_name, split_axis=0, concat_axis=0, tiled=True
+            )
+        else:
+            recv = jax.lax.all_gather(buf, self.axis_name)  # (D, H, C)
+        return recv.reshape(-1, x_local.shape[-1])
+
     def exchange(self, x_local: jax.Array) -> jax.Array:
-        buf = x_local[self.send_idx]  # (H, C)
-        gathered = jax.lax.all_gather(buf, self.axis_name)  # (D, H, C)
         return jnp.concatenate(
-            [x_local, gathered.reshape(-1, x_local.shape[-1])], axis=0
+            [x_local, self.exchange_ghosts(x_local)], axis=0
         )
 
 
@@ -117,9 +142,23 @@ class Processor(nn.Module):
         # Under edge partitioning, senders address the extended
         # [local ++ ghost] space refreshed by one all-gather per step.
         prec = matmul_precision()
-        x_ext = halo.exchange(x) if halo is not None else x
-        proj_u = jnp.dot(x_ext, w_u, precision=prec)  # FIRST concat slot
-        proj_v = jnp.dot(x_ext, w_v, precision=prec)  # SECOND concat slot
+        if halo is not None:
+            # Exchange RAW features and project ghosts separately: the
+            # collective has no data dependence on the local N×L×L matmuls,
+            # so XLA overlaps it with them (compute/communication overlap,
+            # SURVEY §8.7); ghost projections are tiny (D·Hp rows).
+            ghosts = halo.exchange_ghosts(x)
+            proj_u = jnp.concatenate(
+                [jnp.dot(x, w_u, precision=prec),
+                 jnp.dot(ghosts, w_u, precision=prec)], axis=0
+            )
+            proj_v = jnp.concatenate(
+                [jnp.dot(x, w_v, precision=prec),
+                 jnp.dot(ghosts, w_v, precision=prec)], axis=0
+            )
+        else:
+            proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
+            proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
         e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
         use_fused = self.scatter_impl == "fused"

@@ -38,16 +38,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def partition_batch(
-    batch: GraphBatch, n_shards: int, tile: int = 128
+    batch: GraphBatch,
+    n_shards: int,
+    tile: int = 128,
+    halo_mode: str = "a2a",
 ) -> tuple[GraphBatch, np.ndarray]:
     """Split a packed (unsharded) GraphBatch into ``n_shards`` node-range
     shards. Returns (stacked local batches with leading shard axis,
-    halo send_idx (D, H)).
+    halo send_idx — (D, D, Hp) for ``halo_mode="a2a"`` per-peer exchange,
+    (D, H) for the legacy ``"all_gather"`` union broadcast).
 
     Edge senders and divergence-operator column nodes are rewritten into
     each shard's extended address space; padding rows self-loop on the
     local padding node.
     """
+    assert halo_mode in ("a2a", "all_gather"), halo_mode
     Np = batch.num_nodes_padded
     per = _round_up((Np + n_shards - 1) // n_shards, tile)
     Nl = per + tile  # room so the last shard's range + pad node fits
@@ -87,23 +92,57 @@ def partition_batch(
     div_lists = [np.where(k_owner == d)[0] for d in range(n_shards)]
     Kl = _round_up(max(max(len(k) for k in div_lists), 1), 512)
 
-    # --- ghost sets: per OWNER, union of its nodes needed remotely
-    need: list[set[int]] = [set() for _ in range(n_shards)]
+    # --- ghost sets: per (owner o → requester r) pair, the nodes o must
+    # send to r. The a2a plan keeps them per-pair (traffic O(D·Hp), Hp =
+    # max pair size); the legacy all_gather plan unions them per owner
+    # (traffic O(D·H), H = max union size).
+    need_pair: list[list[set[int]]] = [
+        [set() for _ in range(n_shards)] for _ in range(n_shards)
+    ]
     for d in range(n_shards):
         for arr in (senders[edge_lists[d]], div_col_node[div_lists[d]]):
             remote = arr[owner(arr) != d]
             for o in np.unique(owner(remote)):
                 sel = remote[owner(remote) == o]
-                need[int(o)].update(np.unique(sel).tolist())
-    send_lists = [np.sort(np.fromiter(s, dtype=np.int64)) for s in need]
-    H = _round_up(max(max((len(s) for s in send_lists), default=1), 1), 8)
+                need_pair[int(o)][d].update(np.unique(sel).tolist())
 
-    send_idx = np.zeros((n_shards, H), dtype=np.int32)  # local indices
-    slot_of: list[dict[int, int]] = []
-    for o in range(n_shards):
-        sl = send_lists[o]
-        send_idx[o, : len(sl)] = sl - offsets[o]
-        slot_of.append({int(g): i for i, g in enumerate(sl)})
+    if halo_mode == "a2a":
+        Hp = _round_up(
+            max(max((len(s) for row in need_pair for s in row), default=1), 1),
+            8,
+        )
+        # shard o's send plan: row r = its slots for peer r → (D, D, Hp)
+        send_idx = np.zeros((n_shards, n_shards, Hp), dtype=np.int32)
+        pair_slot: list[list[dict[int, int]]] = [
+            [{} for _ in range(n_shards)] for _ in range(n_shards)
+        ]
+        for o in range(n_shards):
+            for r in range(n_shards):
+                sl = np.sort(np.fromiter(need_pair[o][r], dtype=np.int64))
+                send_idx[o, r, : len(sl)] = sl - offsets[o]
+                pair_slot[o][r] = {int(g): i for i, g in enumerate(sl)}
+
+        def ghost_slot(o: int, d: int, g: int) -> int:
+            # received block is laid out (D, Hp): row o = from peer o
+            return Nl + o * Hp + pair_slot[o][d][g]
+
+    else:
+        need: list[set[int]] = [set() for _ in range(n_shards)]
+        for o in range(n_shards):
+            for r in range(n_shards):
+                need[o].update(need_pair[o][r])
+        send_lists = [np.sort(np.fromiter(s, dtype=np.int64)) for s in need]
+        H = _round_up(max(max((len(s) for s in send_lists), default=1), 1), 8)
+
+        send_idx = np.zeros((n_shards, H), dtype=np.int32)  # local indices
+        slot_of: list[dict[int, int]] = []
+        for o in range(n_shards):
+            sl = send_lists[o]
+            send_idx[o, : len(sl)] = sl - offsets[o]
+            slot_of.append({int(g): i for i, g in enumerate(sl)})
+
+        def ghost_slot(o: int, d: int, g: int) -> int:
+            return Nl + o * H + slot_of[o][g]
 
     def ext_addr(global_nodes: np.ndarray, d: int) -> np.ndarray:
         """Rewrite global node ids into shard d's extended address space."""
@@ -114,8 +153,8 @@ def partition_batch(
         out[mine] = local[mine]
         for o in np.unique(own[~mine]):
             sel = (own == o) & ~mine
-            out[sel] = Nl + int(o) * H + np.array(
-                [slot_of[int(o)][int(g)] for g in global_nodes[sel]],
+            out[sel] = np.array(
+                [ghost_slot(int(o), d, int(g)) for g in global_nodes[sel]],
                 dtype=np.int32,
             )
         return out
