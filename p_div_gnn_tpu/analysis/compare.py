@@ -178,18 +178,139 @@ def main(
                 _topk_report(metrics, name, out, topk)
                 render_topk_fields(gt_df, folder, name, out)
     if figures_folder and topk and len(model_names) >= 2:
-        # highest-difference sample fan-out between the first two models
-        # (`compare_results.py:1394-1433` selects samples where the models
-        # disagree most)
-        a, b = model_names[0], model_names[1]
-        diff = np.abs(
-            results[a]["nmse"].to_numpy() - results[b]["nmse"].to_numpy()
-        )
-        idx = topk_indices(diff, topk, largest=True)
-        (Path(figures_folder) / f"topk_diff_{a}_vs_{b}.json").write_text(
-            json.dumps({"highest_difference": idx.tolist()}, indent=2)
+        render_cross_model_figures(
+            gt_df,
+            results,
+            dict(zip(model_names, inference_folders)),
+            baseline_name=model_names[0],
+            proposed_name=model_names[1],
+            figures_folder=Path(figures_folder),
+            topk=topk,
         )
     return results
+
+
+def nmse_element_wise(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """Per-node NMSE fields, (N, 3)
+    (`compare_results.py:352-364` `normalized_mse_loss_element_wise`)."""
+    mean_gt = gt.mean(axis=0)
+    return (gt - pred) ** 2 / ((gt - mean_gt) ** 2).sum(axis=0)
+
+
+def _load_model_sample(folder: Path, i: int) -> tuple[np.ndarray, dict]:
+    pred_df = pd.read_csv(folder / "dataset.csv")
+    data = load_sample_npz(pred_df["data_filename"][i])
+    norm = json.loads((folder / "normalize_params.json").read_text())
+    return np.asarray(data["stress_field"], np.float64), norm
+
+
+def render_cross_model_figures(
+    gt_df: pd.DataFrame,
+    results: dict[str, pd.DataFrame],
+    folders: dict[str, str | Path],
+    baseline_name: str,
+    proposed_name: str,
+    figures_folder: Path,
+    topk: int,
+    figures_per_kind: int = 2,
+) -> dict[str, list[int]]:
+    """The paper's cross-model sample fan-out
+    (`compare_results.py:1341-1433` + `_plot_sample_comparisons`
+    `:923-1054`): per selected sample, a 3×3 stress figure (baseline /
+    proposed / FEM, model rows on the FEM color range), a 2×3 element-wise
+    NMSE figure (proposed clamped to the baseline range), a 1×3
+    divergence-norm row (all on the FEM range), and per-component
+    FEM-vs-model distribution histograms.
+
+    Sample selection (standardized metrics, like the reference):
+    - ``best_divergence``: Div(proposed) < Div(FEM), lowest proposed
+      divergence first — only when the proposed model optimizes divergence
+      ("Div" in its name, `compare_results.py:1369`);
+    - ``worst_k`` / ``best_k`` by the proposed model's NMSE;
+    - ``highest_k_differences`` by |NMSE(baseline) − NMSE(proposed)|.
+    """
+    from p_div_gnn_tpu.analysis.plots import (
+        plot_two_histograms,
+        plot_two_model_divergence,
+        plot_two_model_nmse,
+        plot_two_model_stress,
+    )
+    from p_div_gnn_tpu.graphs.meshio import read_vtk
+
+    mb, mp = results[baseline_name], results[proposed_name]
+    loss_b = mb["nmse_standardized"].to_numpy()
+    loss_p = mp["nmse_standardized"].to_numpy()
+
+    picks: dict[str, np.ndarray] = {}
+    if "Div" in proposed_name:
+        div_p = mp["div_model_standardized"].to_numpy()
+        div_fem = mp["div_fem_standardized"].to_numpy()
+        better = np.where(div_p < div_fem)[0]
+        order = better[np.argsort(div_p[better])]
+        picks["best_divergence"] = order[:topk]
+    picks["worst_k_predictions"] = topk_indices(loss_p, topk, largest=True)
+    picks["best_k_predictions"] = topk_indices(loss_p, topk, largest=False)
+    picks["highest_k_differences"] = topk_indices(
+        np.abs(loss_b - loss_p), topk, largest=True
+    )
+
+    index: dict[str, list[int]] = {k: v.tolist() for k, v in picks.items()}
+    (figures_folder / "cross_model_topk.json").write_text(
+        json.dumps(
+            {"baseline": baseline_name, "proposed": proposed_name, **index},
+            indent=2,
+        )
+    )
+
+    for kind, idxs in picks.items():
+        root = figures_folder / kind
+        for sub in ("stress_fields", "nmse", "divergence_fields",
+                    "distributions"):
+            (root / sub).mkdir(parents=True, exist_ok=True)
+        for rank, i in enumerate(np.asarray(idxs)[:figures_per_kind]):
+            i = int(i)
+            mesh = read_vtk(gt_df["mesh_filename"][i])
+            pts, faces = mesh.points[:, :2], mesh.faces
+            gdata = load_sample_npz(gt_df["data_filename"][i])
+            gt = np.asarray(gdata["stress_field"], np.float64)
+            labels = np.asarray(gdata["node_labels"])
+            D = build_div_matrix(gdata)
+            sb, _ = _load_model_sample(Path(folders[baseline_name]), i)
+            sp, norm = _load_model_sample(Path(folders[proposed_name]), i)
+            mean_ls, std_ls = (
+                norm["mean_local_stress"], norm["std_local_stress"]
+            )
+            tag = f"topk{rank + 1}_sample_{i}"
+            plot_two_model_stress(
+                pts, faces, sb, sp, gt, baseline_name, proposed_name,
+                root / "stress_fields" / f"{tag}.pdf",
+            )
+            plot_two_model_nmse(
+                pts, faces,
+                nmse_element_wise(gt, sb), nmse_element_wise(gt, sp),
+                baseline_name, proposed_name,
+                root / "nmse" / f"{tag}.pdf",
+            )
+            # standardized divergence-norm fields, like the reference's
+            # `divergence_fields_standard` (`compare_results.py:1100-1140`)
+            std_of = lambda s: standardize(s, mean_ls, std_ls)
+            plot_two_model_divergence(
+                pts, faces,
+                divergence_norm_field(std_of(sb), D, labels),
+                divergence_norm_field(std_of(sp), D, labels),
+                divergence_norm_field(std_of(gt), D, labels),
+                baseline_name, proposed_name,
+                root / "divergence_fields" / f"{tag}.pdf",
+            )
+            for c, comp in enumerate(("XX", "YY", "XY")):
+                for name, s in ((baseline_name, sb), (proposed_name, sp)):
+                    plot_two_histograms(
+                        std_of(gt)[:, c], std_of(s)[:, c], "FEM", name,
+                        f"Distribution Stress {comp}",
+                        root / "distributions"
+                        / f"{tag}_distribution_{comp}_{name}.pdf",
+                    )
+    return index
 
 
 def _histograms(metrics: pd.DataFrame, name: str, out: Path) -> None:

@@ -136,3 +136,171 @@ def plot_periodic_mesh(
         fig.savefig(output_file)
         plt.close(fig)
     return fig
+
+
+def plot_fields_row(
+    points2d: np.ndarray,
+    faces: np.ndarray,
+    fields: dict,
+    output_file: str | Path | None = None,
+    clim: list | None = None,
+    cmap: str = "jet",
+    axes=None,
+):
+    """One 1×3 row of scalar fields with per-panel color limits — the
+    matplotlib twin of the reference's pyvista row renderer
+    (`compare_results.py:144-205`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    own = axes is None
+    if own:
+        fig, axes = plt.subplots(1, 3, figsize=(13, 4.2))
+    tri = _tri(points2d, faces)
+    for i, (name, vals) in enumerate(fields.items()):
+        kw = {}
+        if clim is not None and clim[i] is not None:
+            kw = {"vmin": clim[i][0], "vmax": clim[i][1]}
+        tpc = axes[i].tripcolor(tri, vals, shading="gouraud", cmap=cmap, **kw)
+        axes[i].set_aspect("equal")
+        axes[i].set_title(name, fontsize=10)
+        axes[i].set_axis_off()
+        cb = axes[i].figure.colorbar(tpc, ax=axes[i], shrink=0.75,
+                                     orientation="horizontal", format="%.2e")
+        cb.ax.locator_params(nbins=3)  # reference uses n_labels=3
+    if own and output_file:
+        axes[0].figure.tight_layout()
+        axes[0].figure.savefig(output_file)
+        plt.close(axes[0].figure)
+    return axes
+
+
+def plot_two_model_stress(
+    points2d: np.ndarray,
+    faces: np.ndarray,
+    stress_baseline: np.ndarray,
+    stress_proposed: np.ndarray,
+    stress_fem: np.ndarray,
+    baseline_name: str,
+    proposed_name: str,
+    output_file: str | Path,
+):
+    """3×3 cross-model stress figure (`plot_baseline_proposed_fem`,
+    `compare_results.py:278-330`): baseline / proposed rows clamped to the
+    FEM per-component color range, FEM row free."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fem_clim = [(c.min(), c.max()) for c in stress_fem.T]
+    fig, axes = plt.subplots(3, 3, figsize=(13, 12))
+    comps = ["XX", "YY", "XY"]
+    for row, (name, data, clim) in enumerate(
+        [
+            (baseline_name, stress_baseline, fem_clim),
+            (proposed_name, stress_proposed, fem_clim),
+            ("FEM", stress_fem, None),
+        ]
+    ):
+        fields = {
+            f"{name} Stress {c}": data[:, i] for i, c in enumerate(comps)
+        }
+        plot_fields_row(points2d, faces, fields, clim=clim, axes=axes[row])
+    fig.tight_layout()
+    fig.savefig(output_file)
+    plt.close(fig)
+
+
+def plot_two_model_nmse(
+    points2d: np.ndarray,
+    faces: np.ndarray,
+    nmse_baseline: np.ndarray,  # (N, 3) element-wise NMSE fields
+    nmse_proposed: np.ndarray,
+    baseline_name: str,
+    proposed_name: str,
+    output_file: str | Path,
+):
+    """2×3 element-wise NMSE comparison
+    (`plot_difference_baseline_proposed_fem`, `compare_results.py:208-253`):
+    the proposed row is clamped to the baseline's per-component range so
+    improvements read as darker panels."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    base_clim = [(c.min(), c.max()) for c in nmse_baseline.T]
+    fig, axes = plt.subplots(2, 3, figsize=(13, 8))
+    comps = ["XX", "YY", "XY"]
+    for row, (name, data, clim) in enumerate(
+        [
+            (baseline_name, nmse_baseline, None),
+            (proposed_name, nmse_proposed, base_clim),
+        ]
+    ):
+        fields = {
+            f"{name} NMSE Stress {c}": data[:, i]
+            for i, c in enumerate(comps)
+        }
+        plot_fields_row(points2d, faces, fields, clim=clim, axes=axes[row])
+    fig.tight_layout()
+    fig.savefig(output_file)
+    plt.close(fig)
+
+
+def plot_two_model_divergence(
+    points2d: np.ndarray,
+    faces: np.ndarray,
+    div_baseline: np.ndarray,  # (N,) |div| fields
+    div_proposed: np.ndarray,
+    div_fem: np.ndarray,
+    baseline_name: str,
+    proposed_name: str,
+    output_file: str | Path,
+):
+    """1×3 divergence-norm field row, all panels on the FEM color range
+    (`plot_baseline_proposed_fem_divergence_fields`,
+    `compare_results.py:256-275`)."""
+    fem_clim = (div_fem.min(), div_fem.max())
+    plot_fields_row(
+        points2d,
+        faces,
+        {
+            f"{baseline_name} Divergence Field": div_baseline,
+            f"{proposed_name} Divergence Field": div_proposed,
+            "FEM Divergence Field": div_fem,
+        },
+        output_file=output_file,
+        clim=[fem_clim] * 3,
+        cmap="jet",
+    )
+
+
+def plot_two_histograms(
+    data1: np.ndarray,
+    data2: np.ndarray,
+    label1: str,
+    label2: str,
+    title: str,
+    output_file: str | Path,
+    bins: int = 50,
+):
+    """Overlaid per-component stress distributions
+    (`plot_two_histograms`, used by `compare_results.py:1004-1046`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.hist(data1, bins=bins, density=True, alpha=1.0, label=label1)
+    ax.hist(data2, bins=bins, density=True, alpha=0.5, label=label2)
+    ax.set_title(title)
+    ax.set_ylabel("Density")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(output_file)
+    plt.close(fig)

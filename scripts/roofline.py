@@ -1,0 +1,118 @@
+"""Roofline for the flagship train step on the real chip (VERDICT round-1
+item 4): how far is the fused step from speed-of-light?
+
+Combines XLA's own cost analysis (flops / bytes accessed) of the compiled
+step with v5e peak numbers to derive the compute and HBM rooflines, then
+measures the step and reports %SoL. Writes docs/evidence/roofline.json.
+
+v5e peaks (public: cloud.google.com/tpu/docs/v5e):
+  bf16 matmul  197 TFLOP/s per chip
+  HBM          16 GiB @ 819 GB/s
+fp32 matmuls execute as multiple bf16 MXU passes (≈3 for DEFAULT/
+float32-accum, ≈6 for HIGHEST); both bounds are reported.
+
+Usage: python scripts/roofline.py [--impl fused] [--rounds 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_BF16 = 197e12  # FLOP/s
+PEAK_HBM = 819e9  # B/s
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--impl", default="fused")
+    p.add_argument("--stream_dtype", default="float32")
+    p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--out", default="docs/evidence/roofline.json")
+    args = p.parse_args()
+
+    from bench import build_workload
+
+    from p_div_gnn_tpu.graphs.container import NormStats
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from p_div_gnn_tpu.train.loop import Trainer
+    from p_div_gnn_tpu.utils.profiling import compiled_stats
+
+    batch, n_edges, n_nodes = build_workload()
+    print(f"workload: {n_nodes} nodes / {n_edges} edges "
+          f"(padded {batch.num_nodes_padded}/{batch.num_edges_padded})")
+    stats = NormStats.ones()
+    model = EncodeProcessDecode(
+        latent_size=128, message_passing_steps=10,
+        scatter_impl=args.impl, stream_dtype=args.stream_dtype,
+    )
+    trainer = Trainer(model=model, stats=stats, learning_rate=1e-3,
+                      divergence_penalty=10.0, optimize_divergence=True)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
+
+    def step(p, o, b):
+        return trainer._train_step_impl(p, o, b)[2]["total"]
+
+    cost = compiled_stats(step, params, opt_state, batch)
+    flops, bytes_acc = cost["flops"], cost["bytes_accessed"]
+    print(f"XLA cost analysis: {flops/1e12:.3f} TFLOP, "
+          f"{bytes_acc/1e9:.2f} GB accessed")
+
+    jstep = jax.jit(step)
+    jax.block_until_ready(jstep(params, opt_state, batch))  # compile
+    best = np.inf
+    for r in range(args.rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(5):
+            out = jstep(params, opt_state, batch)
+        jax.block_until_ready(out)
+        t = (time.perf_counter() - t0) / 5
+        best = min(best, t)
+        print(f"  r{r}: {t*1e3:.1f} ms")
+
+    t_mem = bytes_acc / PEAK_HBM
+    t_bf16 = flops / PEAK_BF16
+    t_fp32_3p = 3 * t_bf16
+    t_fp32_6p = 6 * t_bf16
+    # the fused kernels run fp32 HIGHEST matmuls unless stream_dtype=bf16
+    n_passes = 1 if args.stream_dtype == "bfloat16" else 6
+    sol = max(t_mem, n_passes * t_bf16)
+    report = {
+        "impl": args.impl,
+        "stream_dtype": args.stream_dtype,
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "xla_tflop": round(flops / 1e12, 3),
+        "xla_gb_accessed": round(bytes_acc / 1e9, 2),
+        "hbm_bound_ms": round(t_mem * 1e3, 1),
+        "mxu_bound_bf16_ms": round(t_bf16 * 1e3, 1),
+        "mxu_bound_fp32_3pass_ms": round(t_fp32_3p * 1e3, 1),
+        "mxu_bound_fp32_6pass_ms": round(t_fp32_6p * 1e3, 1),
+        "speed_of_light_ms": round(sol * 1e3, 1),
+        "measured_ms": round(best * 1e3, 1),
+        "pct_speed_of_light": round(100 * sol / best, 1),
+        "edges_per_s_measured": int(n_edges / best),
+        "edges_per_s_at_sol": int(n_edges / sol),
+        "bound": "hbm" if t_mem > n_passes * t_bf16 else "mxu",
+        "achieved_hbm_gbps": round(bytes_acc / best / 1e9, 1),
+        "achieved_tflops_raw": round(flops / best / 1e12, 2),
+    }
+    print(json.dumps(report, indent=1))
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
