@@ -140,6 +140,16 @@ def main() -> None:
         "unit": "edges/s",
         "vs_baseline": round(t_xla / best, 4),
     }
+    # %speed-of-light against the roofline computed by scripts/roofline.py
+    # (XLA cost analysis + v5e peaks); see docs/evidence/roofline.json
+    try:
+        roof = json.load(open("docs/evidence/roofline.json"))
+        result["pct_speed_of_light"] = round(
+            100.0 * roof["speed_of_light_ms"] / (best * 1e3), 1
+        )
+        result["sol_bound"] = roof["bound"]
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

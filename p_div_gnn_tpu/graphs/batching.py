@@ -49,6 +49,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 EDGE_BLOCK = 128  # Pallas scatter kernel block size (ops/scatter_pallas.py)
+# sender-view padding sentinel: HIGH out-of-bounds so jnp.take(mode='fill')
+# yields fill_value (negative indices would wrap around instead)
+PAD_SLOT = np.int32(2**31 - 1)
 
 
 def blockify_edges(
@@ -113,6 +116,83 @@ def blockify_edges(
         np.arange(n_tiles, dtype=np.int32), cap // edge_block
     )
     return o_snd, o_rcv, o_ew, o_eg, tile_ptr, edge_block_tile
+
+
+def build_sender_view(
+    senders: np.ndarray,
+    num_nodes: int,
+    tile: int = 128,
+    edge_block: int = EDGE_BLOCK,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sender-major blockified view of an edge layout: edge slots re-sorted
+    by SENDER tile, per-tile runs padded to ``edge_block``.
+
+    Purpose: the VJP of the per-edge sender gathers (``proj[senders]``) is a
+    scatter-add over senders; XLA lowers that to a slow generic per-element
+    scatter on TPU. With this view the cotangent stream is permuted into
+    sender-tile blocks (``jnp.take`` with ``fill_value=0`` for the padding
+    slots, perm == -1) and accumulated by the MXU one-hot scatter kernel
+    (ops/scatter_pallas.py) instead.
+
+    Returns (snd_perm (Ep2,) i32 — source edge slot or PAD_SLOT,
+             snd_sorted (Ep2,) i32 — sender node id per slot,
+             snd_block_tile (Ep2/edge_block,) i32 — sender tile per block).
+    """
+    assert num_nodes % tile == 0
+    n_tiles = num_nodes // tile
+    Ep = len(senders)
+    s_tile = np.minimum(senders // tile, n_tiles - 1)
+    counts = np.bincount(s_tile, minlength=n_tiles)
+    cap = np.maximum((counts + edge_block - 1) // edge_block, 1) * edge_block
+    total = int(cap.sum())
+    starts = np.concatenate([[0], np.cumsum(cap)])[:-1]
+
+    order = np.argsort(s_tile, kind="stable")
+    snd_perm = np.full(total, PAD_SLOT, np.int32)
+    snd_sorted = np.empty(total, np.int32)
+    for t in range(n_tiles):
+        snd_sorted[starts[t] : starts[t] + cap[t]] = t * tile + (tile - 1)
+    in_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    for t in range(n_tiles):
+        c = counts[t]
+        if c:
+            src = order[in_starts[t] : in_starts[t] + c]
+            snd_perm[starts[t] : starts[t] + c] = src
+            snd_sorted[starts[t] : starts[t] + c] = senders[src]
+    snd_block_tile = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), cap // edge_block
+    )
+    return snd_perm, snd_sorted, snd_block_tile
+
+
+def pad_sender_view(
+    snd_perm: np.ndarray,
+    snd_sorted: np.ndarray,
+    snd_block_tile: np.ndarray,
+    target_capacity: int,
+    num_nodes: int,
+    tile: int = 128,
+    edge_block: int = EDGE_BLOCK,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grow a sender view to a common capacity (whole padding blocks on the
+    last tile — zero contributions) so views stack across DP shards."""
+    cur = len(snd_perm)
+    assert target_capacity % edge_block == 0 and target_capacity >= cur
+    if cur == target_capacity:
+        return snd_perm, snd_sorted, snd_block_tile
+    extra = target_capacity - cur
+    last_tile = num_nodes // tile - 1
+    return (
+        np.concatenate([snd_perm, np.full(extra, PAD_SLOT, np.int32)]),
+        np.concatenate(
+            [snd_sorted,
+             np.full(extra, last_tile * tile + (tile - 1), np.int32)]
+        ),
+        np.concatenate(
+            [snd_block_tile,
+             np.full(extra // edge_block, last_tile, np.int32)]
+        ),
+    )
 
 
 def _bucket(x: int, m: int, buckets: tuple[int, ...] | None) -> int:
@@ -235,6 +315,9 @@ def pack_batch(
         min_capacity=Ep,
     )
 
+    snd_perm, snd_sorted, snd_block_tile = build_sender_view(
+        senders, num_nodes=Np, tile=tile
+    )
     return GraphBatch(
         pos=pos,
         mean_stress=mean_stress,
@@ -247,6 +330,9 @@ def pack_batch(
         edge_gid=edge_gid,
         tile_ptr=tile_ptr,
         edge_block_tile=edge_block_tile,
+        snd_perm=snd_perm,
+        snd_sorted=snd_sorted,
+        snd_block_tile=snd_block_tile,
         div_data=div_data,
         div_row=div_row,
         div_col_node=div_col_node,

@@ -54,6 +54,15 @@ class GraphBatch(flax.struct.PyTreeNode):
     graph_node_count: Array  # (G,) i32  (0 for padding graphs)
     graph_node_offset: Array  # (G,) i32
 
+    # --- optional sender-major edge view (capacity Ep2): lets the VJP of
+    # the per-edge sender gathers run as the MXU one-hot scatter kernel
+    # instead of XLA's per-element generic scatter (see
+    # batching.build_sender_view). None when a producer doesn't build it
+    # (e.g. edge-partitioned shards) — consumers fall back to XLA.
+    snd_perm: Array | None = None  # (Ep2,) i32 source edge slot, -1 pad
+    snd_sorted: Array | None = None  # (Ep2,) i32 sender node per slot
+    snd_block_tile: Array | None = None  # (Ep2/EDGE_BLOCK,) i32
+
     # --- static
     n_graphs: int = flax.struct.field(pytree_node=False, default=1)
     tile: int = flax.struct.field(pytree_node=False, default=128)

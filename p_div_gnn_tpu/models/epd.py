@@ -182,8 +182,20 @@ class Processor(nn.Module):
                 jnp.bfloat16 if self.stream_dtype == "bfloat16"
                 else jnp.float32
             )
-            s_msg = (proj_v[snd] + e_proj + edge_b0).astype(sd)
-            s_upd = (proj_u[snd] + e_proj + edge_b0).astype(sd)
+            if batch.snd_perm is not None and halo is None:
+                # sender gathers with an MXU-scatter VJP: XLA's generic
+                # scatter-add (the gather transpose) is the dominant
+                # backward cost otherwise (ops/gather.py)
+                from p_div_gnn_tpu.ops.gather import sender_gather
+
+                gather = lambda p: sender_gather(
+                    p, snd, batch.snd_perm, batch.snd_sorted,
+                    batch.snd_block_tile, p.shape[0],
+                )
+            else:
+                gather = lambda p: p[snd]
+            s_msg = (gather(proj_v) + e_proj + edge_b0).astype(sd)
+            s_upd = (gather(proj_u) + e_proj + edge_b0).astype(sd)
             z_upd, r_raw, m = fused_edge_step(
                 proj_u[:Np].astype(sd), proj_v[:Np].astype(sd),
                 s_msg, s_upd,

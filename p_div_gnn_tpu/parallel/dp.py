@@ -80,6 +80,22 @@ def pack_sharded_batch(
     caps = {b.num_edges_padded for b in packed}
     if len(caps) > 1:
         packed = pack_all(max(caps))
+    # sender-view capacities must match across shards too
+    from p_div_gnn_tpu.graphs.batching import pad_sender_view
+
+    vcap = max(len(b.snd_perm) for b in packed)
+    packed = [
+        b.replace(
+            **dict(zip(
+                ("snd_perm", "snd_sorted", "snd_block_tile"),
+                pad_sender_view(
+                    b.snd_perm, b.snd_sorted, b.snd_block_tile, vcap,
+                    b.num_nodes_padded, tile,
+                ),
+            ))
+        )
+        for b in packed
+    ]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *packed)
     return stacked
 

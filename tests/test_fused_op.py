@@ -111,3 +111,55 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_sender_gather_vjp_matches_xla():
+    """ops/gather.sender_gather: the MXU-scatter backward must equal the
+    plain-gather VJP (XLA generic scatter)."""
+    import jax
+    import jax.numpy as jnp
+    from p_div_gnn_tpu.graphs.batching import build_sender_view
+    from p_div_gnn_tpu.ops.gather import sender_gather
+
+    rng = np.random.default_rng(3)
+    Np, Ep, L = 256, 512, 32
+    proj = jnp.asarray(rng.normal(size=(Np, L)).astype(np.float32))
+    snd = jnp.asarray(rng.integers(0, Np, size=Ep).astype(np.int32))
+    cot = rng.normal(size=(Ep, L)).astype(np.float32)
+    perm, srt, bt = build_sender_view(np.asarray(snd), Np)
+
+    f_new = lambda p: jnp.vdot(
+        sender_gather(p, snd, jnp.asarray(perm), jnp.asarray(srt),
+                      jnp.asarray(bt), Np), cot
+    )
+    f_ref = lambda p: jnp.vdot(p[snd], cot)
+    g_new = jax.grad(f_new)(proj)
+    g_ref = jax.grad(f_ref)(proj)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_model_grads_same_with_and_without_sender_view():
+    """End-to-end: stripping the sender view must not change the fused
+    model's gradients (only the scatter implementation differs)."""
+    import jax
+    from p_div_gnn_tpu.graphs import pack_batch
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from test_model import STATS, _mesh_sample
+
+    batch = pack_batch([_mesh_sample(0), _mesh_sample(1, nx=4)], n_graphs=2)
+    stripped = batch.replace(snd_perm=None, snd_sorted=None,
+                             snd_block_tile=None)
+    model = EncodeProcessDecode(latent_size=16, message_passing_steps=2,
+                                scatter_impl="fused", remat_steps=False)
+    params = model.init(jax.random.PRNGKey(0), stripped, STATS)
+
+    def loss(p, b):
+        out = model.apply(p, b, STATS, scale_output=False)
+        return (out ** 2).sum()
+
+    g_view = jax.grad(loss)(params, batch)
+    g_ref = jax.grad(loss)(params, stripped)
+    for a, b in zip(jax.tree.leaves(g_view), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
