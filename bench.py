@@ -29,7 +29,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_workload(n_graphs: int = 16, seed: int = 0):
+def build_workload(n_graphs: int = 16, seed: int = 0,
+                   pair_blocks: bool = False):
     import numpy as np
 
     from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh
@@ -67,7 +68,7 @@ def build_workload(n_graphs: int = 16, seed: int = 0):
                 div_col=op.col.astype(np.int64),
             )
         )
-    batch = pack_batch(samples, n_graphs=n_graphs)
+    batch = pack_batch(samples, n_graphs=n_graphs, pair_blocks=pair_blocks)
     n_real_edges = sum(s.num_edges for s in samples)
     n_real_nodes = sum(s.num_nodes for s in samples)
     return batch, n_real_edges, n_real_nodes
@@ -112,11 +113,16 @@ def main() -> None:
     # The tunneled chip shows large (up to ~5x) run-to-run contention noise,
     # so each implementation is timed in short blocks, INTERLEAVED across
     # several rounds, and the per-impl best block is used.
-    impls = ["xla", "pallas", "fused"]
+    pair_batch, _, _ = build_workload(pair_blocks=True)
+    log(f"pair layout: {pair_batch.num_edges_padded} edge slots "
+        f"({pair_batch.num_edges_padded / batch.num_edges_padded:.3f}x)")
+    impls = ["xla", "pallas", "fused", "fused2", "hybrid"]
+    batches = {impl: batch for impl in impls}
+    batches["fused2"] = pair_batch
     cases = {}
     for impl in impls:
         try:
-            cases[impl] = make_train_step(impl, batch)
+            cases[impl] = make_train_step(impl, batches[impl])
         except Exception as exc:  # pragma: no cover
             log(f"{impl} path failed ({type(exc).__name__}: {exc})")
     best_t = {impl: float("inf") for impl in cases}
@@ -125,7 +131,7 @@ def main() -> None:
         for impl, (step, params, opt_state) in cases.items():
             t0 = time.perf_counter()
             for _ in range(block_steps):
-                _, _, aux = step(params, opt_state, batch)
+                _, _, aux = step(params, opt_state, batches[impl])
             jax.block_until_ready(aux["total"])
             t = (time.perf_counter() - t0) / block_steps
             best_t[impl] = min(best_t[impl], t)

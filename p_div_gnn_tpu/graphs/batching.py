@@ -10,6 +10,7 @@ is mask-aware (SURVEY.md §7.10).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -48,7 +49,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-EDGE_BLOCK = 128  # Pallas scatter kernel block size (ops/scatter_pallas.py)
+# Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
+# The TPU grid is sequential, so per-block overhead × n_blocks is a real
+# cost floor (roofline.json: the flagship step is overhead-bound, not
+# HBM-bound) — larger blocks trade padding for ~linearly fewer grid steps.
+# Env-tunable for experiments; layouts and kernels share this constant.
+EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "128"))
 # sender-view padding sentinel: HIGH out-of-bounds so jnp.take(mode='fill')
 # yields fill_value (negative indices would wrap around instead)
 PAD_SLOT = np.int32(2**31 - 1)
@@ -116,6 +122,85 @@ def blockify_edges(
         np.arange(n_tiles, dtype=np.int32), cap // edge_block
     )
     return o_snd, o_rcv, o_ew, o_eg, tile_ptr, edge_block_tile
+
+
+def blockify_edges_pair(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_weight: np.ndarray,
+    edge_gid: np.ndarray,
+    num_nodes: int,
+    n_graphs: int,
+    tile: int = 128,
+    edge_block: int = EDGE_BLOCK,
+    min_capacity: int = 0,
+) -> tuple[np.ndarray, ...]:
+    """Pair-blocked layout for the fully-fused edge kernel (fused2): edges
+    grouped by (receiver_tile, sender_tile), each group padded to
+    ``edge_block``. Receiver-tile-major order keeps the kernel's R
+    accumulator revisits consecutive; within a block BOTH endpoints live in
+    single 128-node tiles, so the sender gather becomes an in-VMEM one-hot
+    contraction and the per-edge ``s_msg``/``s_upd`` HBM streams disappear.
+
+    Padding edges point receiver/sender at their tiles' LAST nodes; their
+    contributions are masked (gid == n_graphs) everywhere downstream.
+
+    Returns (senders, receivers, edge_weight, edge_gid, tile_ptr,
+    edge_block_tile (rcv tile per block), edge_block_snd_tile).
+    """
+    assert num_nodes % tile == 0
+    n_tiles = num_nodes // tile
+    rt = np.minimum(receivers // tile, n_tiles - 1).astype(np.int64)
+    st = np.minimum(senders // tile, n_tiles - 1).astype(np.int64)
+    key = rt * n_tiles + st
+    order = np.argsort(key, kind="stable")
+    pairs, counts = np.unique(key[order], return_counts=True)
+    # every receiver tile needs at least one block so R covers all tiles
+    missing_rt = np.setdiff1d(
+        np.arange(n_tiles, dtype=np.int64), pairs // n_tiles
+    )
+    pairs = np.concatenate([pairs, missing_rt * n_tiles + missing_rt])
+    counts = np.concatenate([counts, np.zeros(len(missing_rt), np.int64)])
+    resort = np.argsort(pairs, kind="stable")
+    pairs, counts = pairs[resort], counts[resort]
+
+    cap = np.maximum((counts + edge_block - 1) // edge_block, 1) * edge_block
+    total = int(cap.sum())
+    if min_capacity and total < min_capacity:
+        cap[-1] += min_capacity - total
+        total = min_capacity
+    starts = np.concatenate([[0], np.cumsum(cap)])[:-1]
+
+    p_rt = (pairs // n_tiles).astype(np.int32)
+    p_st = (pairs % n_tiles).astype(np.int32)
+    o_snd = np.empty(total, senders.dtype)
+    o_rcv = np.empty(total, receivers.dtype)
+    o_ew = np.zeros((total,) + edge_weight.shape[1:], edge_weight.dtype)
+    o_eg = np.full(total, n_graphs, edge_gid.dtype)
+    for g in range(len(pairs)):
+        o_rcv[starts[g] : starts[g] + cap[g]] = p_rt[g] * tile + (tile - 1)
+        o_snd[starts[g] : starts[g] + cap[g]] = p_st[g] * tile + (tile - 1)
+    in_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    for g in range(len(pairs)):
+        c = counts[g]
+        if c:
+            src = order[in_starts[g] : in_starts[g] + c]
+            o_snd[starts[g] : starts[g] + c] = senders[src]
+            o_rcv[starts[g] : starts[g] + c] = receivers[src]
+            o_ew[starts[g] : starts[g] + c] = edge_weight[src]
+            o_eg[starts[g] : starts[g] + c] = edge_gid[src]
+    edge_block_tile = np.repeat(p_rt, cap // edge_block)
+    edge_block_snd_tile = np.repeat(p_st, cap // edge_block)
+    # per-receiver-tile CSR offsets (carried for parity with the rcv-major
+    # layout; blocks of one rcv tile stay contiguous)
+    tile_tot = np.zeros(n_tiles, np.int64)
+    np.add.at(tile_tot, p_rt, cap)
+    tile_ptr = np.concatenate([[0], np.cumsum(tile_tot)]).astype(np.int32)
+    return (
+        o_snd, o_rcv, o_ew, o_eg, tile_ptr,
+        edge_block_tile.astype(np.int32),
+        edge_block_snd_tile.astype(np.int32),
+    )
 
 
 def build_sender_view(
@@ -213,6 +298,7 @@ def pack_batch(
     tile: int = 128,
     node_buckets: tuple[int, ...] | None = None,
     edge_buckets: tuple[int, ...] | None = None,
+    pair_blocks: bool = False,
 ) -> GraphBatch:
     """Concatenate samples into one padded batch (host-side, numpy).
 
@@ -297,23 +383,39 @@ def pack_batch(
     # scatter kernel consumes (per-tile ranges padded to EDGE_BLOCK).
     real = e_off
     order = np.argsort(receivers[:real], kind="stable")
-    (
-        senders,
-        receivers,
-        edge_weight,
-        edge_gid,
-        tile_ptr,
-        edge_block_tile,
-    ) = blockify_edges(
-        senders[:real][order],
-        receivers[:real][order],
-        edge_weight[:real][order],
-        edge_gid[:real][order],
-        num_nodes=Np,
-        n_graphs=G,
-        tile=tile,
-        min_capacity=Ep,
-    )
+    edge_block_snd_tile = None
+    if pair_blocks:
+        (
+            senders, receivers, edge_weight, edge_gid, tile_ptr,
+            edge_block_tile, edge_block_snd_tile,
+        ) = blockify_edges_pair(
+            senders[:real][order],
+            receivers[:real][order],
+            edge_weight[:real][order],
+            edge_gid[:real][order],
+            num_nodes=Np,
+            n_graphs=G,
+            tile=tile,
+            min_capacity=Ep,
+        )
+    else:
+        (
+            senders,
+            receivers,
+            edge_weight,
+            edge_gid,
+            tile_ptr,
+            edge_block_tile,
+        ) = blockify_edges(
+            senders[:real][order],
+            receivers[:real][order],
+            edge_weight[:real][order],
+            edge_gid[:real][order],
+            num_nodes=Np,
+            n_graphs=G,
+            tile=tile,
+            min_capacity=Ep,
+        )
 
     snd_perm, snd_sorted, snd_block_tile = build_sender_view(
         senders, num_nodes=Np, tile=tile
@@ -330,6 +432,7 @@ def pack_batch(
         edge_gid=edge_gid,
         tile_ptr=tile_ptr,
         edge_block_tile=edge_block_tile,
+        edge_block_snd_tile=edge_block_snd_tile,
         snd_perm=snd_perm,
         snd_sorted=snd_sorted,
         snd_block_tile=snd_block_tile,

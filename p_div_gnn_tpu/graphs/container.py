@@ -63,6 +63,12 @@ class GraphBatch(flax.struct.PyTreeNode):
     snd_sorted: Array | None = None  # (Ep2,) i32 sender node per slot
     snd_block_tile: Array | None = None  # (Ep2/EDGE_BLOCK,) i32
 
+    # --- optional pair-blocked layout marker (batching.blockify_edges_pair,
+    # scatter_impl="fused2"): sender tile per edge block. When set, the
+    # edge arrays are (rcv_tile, snd_tile)-grouped — receivers are NOT
+    # globally sorted, so XLA segment-sums must not assume sortedness.
+    edge_block_snd_tile: Array | None = None  # (Ep/EDGE_BLOCK,) i32
+
     # --- static
     n_graphs: int = flax.struct.field(pytree_node=False, default=1)
     tile: int = flax.struct.field(pytree_node=False, default=128)

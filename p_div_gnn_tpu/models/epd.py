@@ -159,10 +159,54 @@ class Processor(nn.Module):
         else:
             proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
             proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
-        e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
+        if self.scatter_impl != "fused2":  # fused2 projects e in-kernel
+            e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
-        use_fused = self.scatter_impl == "fused"
-        if use_fused:
+        use_fused = self.scatter_impl in ("fused", "fused2")
+        if self.scatter_impl == "fused2":
+            # pair-blocked FULL fusion: both endpoint gathers and the
+            # e-projection live inside one kernel pass (needs a batch packed
+            # with pair_blocks=True; see ops/fused_edge.fused_edge_step2)
+            from p_div_gnn_tpu.ops.fused_edge import (
+                fused_edge_step2,
+                lazy_layernorm_affine,
+                moments_from_partials,
+            )
+            from p_div_gnn_tpu.ops.segment import segment_sum
+
+            assert batch.edge_block_snd_tile is not None, (
+                "scatter_impl='fused2' needs pair-blocked batches "
+                "(pack_batch(pair_blocks=True))"
+            )
+            assert halo is None, "fused2 is single-shard for now"
+            G = batch.n_graphs
+            Np = x.shape[0]
+            sd = (
+                jnp.bfloat16 if self.stream_dtype == "bfloat16"
+                else jnp.float32
+            )
+            aux2 = (
+                batch.edge_gid, batch.edge_block_tile,
+                batch.edge_block_snd_tile,
+                batch.snd_perm, batch.snd_sorted, batch.snd_block_tile,
+            )
+            z_upd, r_raw, m = fused_edge_step2(
+                proj_u.astype(sd), proj_v.astype(sd), e.astype(sd),
+                w_e.astype(sd), edge_b0.astype(sd),
+                edge_lin1_k.astype(sd), edge_lin1_b.astype(sd),
+                rcv, snd, aux2, G,
+            )
+            m1, s1 = moments_from_partials(m[0], m[1], edge_mask, axis_name)
+            a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
+            m2, s2 = moments_from_partials(m[2], m[3], edge_mask, axis_name)
+            a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
+            deg = segment_sum(
+                edge_mask.astype(jnp.float32)[:, None], rcv, Np,
+                indices_are_sorted=False,
+            )
+            aggr = r_raw * a1 + deg * b1
+            new_e = (z_upd * a2 + b2) * edge_mask[:, None]
+        elif use_fused:
             from p_div_gnn_tpu.ops.fused_edge import (
                 fused_edge_step,
                 lazy_layernorm_affine,
@@ -223,12 +267,31 @@ class Processor(nn.Module):
                     y, edge_mask, edge_ln_w, edge_ln_b, axis_name=axis_name
                 )
 
+            if (
+                self.scatter_impl == "hybrid"
+                and batch.snd_perm is not None
+                and halo is None
+            ):
+                # XLA forward (fast: big dense MLP matmuls + sorted-receiver
+                # segment sums) with ONLY the sender-gather VJPs swapped for
+                # the MXU one-hot scatter — profiling shows the backward's
+                # unsorted sender scatters are the XLA path's bottleneck
+                # while its forward beats the fused kernel (ops/gather.py).
+                from p_div_gnn_tpu.ops.gather import sender_gather
+
+                gather_snd = lambda p: sender_gather(
+                    p, snd, batch.snd_perm, batch.snd_sorted,
+                    batch.snd_block_tile, p.shape[0],
+                )
+            else:
+                gather_snd = lambda p: p[snd]
+
             # message: edge_net([x_i, x_j, e]) with i=target, j=source.
-            msg_pre = proj_u[rcv] + proj_v[snd] + e_proj + edge_b0
+            msg_pre = proj_u[rcv] + gather_snd(proj_v) + e_proj + edge_b0
             messages = edge_net_tail(msg_pre)
 
             # edge update: edge_net([x_row, x_col, e]) = [source, target, e].
-            upd_pre = proj_u[snd] + proj_v[rcv] + e_proj + edge_b0
+            upd_pre = gather_snd(proj_u) + proj_v[rcv] + e_proj + edge_b0
             new_e = edge_net_tail(upd_pre)
 
             # aggregate (scatter-add over targets) then node_net([aggr, x]).
@@ -237,8 +300,11 @@ class Processor(nn.Module):
                 rcv,
                 x.shape[0],
                 block_tile=batch.edge_block_tile,
-                impl="xla" if self.scatter_impl == "fused"
+                impl="xla"
+                if self.scatter_impl in ("fused", "fused2", "hybrid")
                 else self.scatter_impl,
+                # pair-blocked layouts are not globally receiver-sorted
+                sorted_receivers=batch.edge_block_snd_tile is None,
             )
         nbound = 1.0 / jnp.sqrt(2 * L)  # concat fan-in [aggr, x]
         nslot_init = lambda k, s: jax.random.uniform(

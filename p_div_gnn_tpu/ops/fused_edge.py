@@ -439,3 +439,373 @@ def lazy_layernorm_affine(
     alpha = weight / (std + eps)
     beta = bias - mean * alpha
     return alpha, beta
+
+
+# ---------------------------------------------------------------------------
+# v3 (fused2): pair-blocked FULL fusion. With the (receiver_tile,
+# sender_tile) layout (graphs/batching.blockify_edges_pair) BOTH endpoint
+# gathers are in-VMEM one-hot contractions and the e-projection runs inside
+# the kernel, so the per-edge s_msg/s_upd HBM streams (and their XLA prep
+# fusions) disappear entirely: the forward touches each edge stream once
+# (read e, write z_upd). Cost: ~1.35x more edge slots (pair padding) and
+# two extra one-hot MXU passes — a win whenever the step is stream- or
+# fusion-launch-bound.
+# ---------------------------------------------------------------------------
+
+
+def _step2_kernel(meta_ref, u_r_ref, v_r_ref, u_s_ref, v_s_ref, e_ref,
+                  rcv_ref, snd_ref, gid_ref, we_ref, b0_ref, w2_ref, b2_ref,
+                  z_upd_ref, r_ref, m_ref, *, n_graphs: int):
+    dt = e_ref.dtype
+    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    b = pl.program_id(0)
+    tile = meta_ref[0, b]
+    prev = meta_ref[0, jnp.maximum(b - 1, 0)]
+    tile_first = jnp.logical_or(b == 0, tile != prev)
+    s_base = meta_ref[1, b] * NODE_TILE
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
+    onehot_r = (col_ids == rcv_ref[:, :] - tile * NODE_TILE).astype(dt)
+    onehot_s = (col_ids == snd_ref[:, :] - s_base).astype(dt)
+    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
+
+    def mm(x, y, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            x.astype(dt), y.astype(dt), dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    ep = mm(e_ref[:, :], we_ref[:, :])  # in-kernel e-projection
+    b0 = b0_ref[0, :].astype(jnp.float32)
+    b2 = b2_ref[0, :].astype(jnp.float32)
+
+    def edge_mlp(a_ref, p_ref):
+        # pre = proj_a[rcv] + proj_p[snd] + e@We + b0
+        pre = mm(onehot_r, a_ref[:, :]) + mm(onehot_s, p_ref[:, :]) + ep + b0
+        h = jnp.maximum(pre, 0.0)
+        y = mm(h, w2_ref[:, :]) + b2
+        return jnp.maximum(y, 0.0) * mask
+
+    z_msg = edge_mlp(u_r_ref, v_s_ref)  # messages: u@rcv + v@snd
+    z_upd = edge_mlp(v_r_ref, u_s_ref)  # edge upd: v@rcv + u@snd
+
+    # NB: edge_mlp(u_r, v_s) uses u at the RECEIVER tile and v at the
+    # SENDER tile; the four tile refs are (u@rt, v@rt, u@st, v@st).
+    z_upd_ref[:, :] = z_upd.astype(dt)
+
+    r_contrib = jax.lax.dot_general(
+        onehot_r, z_msg.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(tile_first)
+    def _():
+        r_ref[:, :] = r_contrib
+
+    @pl.when(jnp.logical_not(tile_first))
+    def _():
+        r_ref[:, :] = r_ref[:, :] + r_contrib
+
+    zero = jnp.zeros((1, z_msg.shape[1]), jnp.float32)
+    m_contrib = jnp.concatenate(
+        [
+            jnp.sum(z_msg, axis=0, keepdims=True),
+            jnp.sum(z_msg * z_msg, axis=0, keepdims=True),
+            jnp.sum(z_upd, axis=0, keepdims=True),
+            jnp.sum(z_upd * z_upd, axis=0, keepdims=True),
+            zero, zero, zero, zero,
+        ],
+        axis=0,
+    )
+
+    @pl.when(b == 0)
+    def _():
+        m_ref[:, :] = m_contrib
+
+    @pl.when(b != 0)
+    def _():
+        m_ref[:, :] = m_ref[:, :] + m_contrib
+
+
+def _step2_specs(L, n_blocks):
+    tile_r = pl.BlockSpec((NODE_TILE, L), lambda b, mt: (mt[0, b], 0),
+                          memory_space=pltpu.VMEM)
+    tile_s = pl.BlockSpec((NODE_TILE, L), lambda b, mt: (mt[1, b], 0),
+                          memory_space=pltpu.VMEM)
+    edge = pl.BlockSpec((EDGE_BLOCK, L), lambda b, mt: (b, 0),
+                        memory_space=pltpu.VMEM)
+    idx = pl.BlockSpec((EDGE_BLOCK, 1), lambda b, mt: (b, 0),
+                       memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((L, L), lambda b, mt: (0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, L), lambda b, mt: (0, 0), memory_space=pltpu.VMEM)
+    return tile_r, tile_s, edge, idx, mat, vec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_edge_step2(
+    proj_u: jax.Array,  # (Np, L)
+    proj_v: jax.Array,  # (Np, L)
+    e: jax.Array,  # (Ep, L) edge latents (pair-blocked order)
+    w_e: jax.Array,  # (L, L)
+    b0: jax.Array,  # (L,)
+    w2: jax.Array,  # (L, L)
+    b2: jax.Array,  # (L,)
+    receivers: jax.Array,  # (Ep,) i32
+    senders: jax.Array,  # (Ep,) i32
+    aux: tuple,  # (edge_gid, block_tile_rcv, block_tile_snd,
+    #               snd_perm, snd_sorted, snd_block_tile)
+    # n_graphs via nondiff
+    n_graphs: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pair-blocked fully-fused edge step. Returns (z_upd, R, M) like
+    fused_edge_step; the e-projection + first bias live inside."""
+    return _step2_forward(proj_u, proj_v, e, w_e, b0, w2, b2, receivers,
+                          senders, aux, n_graphs)
+
+
+def _step2_forward(proj_u, proj_v, e, w_e, b0, w2, b2, receivers, senders,
+                   aux, n_graphs):
+    edge_gid, bt_rcv, bt_snd = aux[0], aux[1], aux[2]
+    Ep, L = e.shape
+    Np = proj_u.shape[0]
+    assert Ep % EDGE_BLOCK == 0 and Np % NODE_TILE == 0
+    n_blocks = Ep // EDGE_BLOCK
+    meta = jnp.stack(
+        [bt_rcv.astype(jnp.int32), bt_snd.astype(jnp.int32)], axis=0
+    )
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    snd2d = senders.astype(jnp.int32).reshape(Ep, 1)
+    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    tile_r, tile_s, edge, idx, mat, vec = _step2_specs(L, n_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[tile_r, tile_r, tile_s, tile_s, edge, idx, idx, idx,
+                  mat, vec, mat, vec],
+        out_specs=(
+            edge,
+            pl.BlockSpec((NODE_TILE, L), lambda b, mt: (mt[0, b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, L), lambda b, mt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    with _maybe_interpret():
+        call = pl.pallas_call(
+            functools.partial(_step2_kernel, n_graphs=n_graphs),
+            out_shape=(
+                jax.ShapeDtypeStruct((Ep, L), e.dtype),
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),
+                jax.ShapeDtypeStruct((8, L), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Ep * L * (5 * NODE_TILE + 3 * L),
+                bytes_accessed=Ep * L * 8 + Ep * 12
+                + n_blocks * NODE_TILE * L * 16,
+                transcendentals=0,
+            ),
+        )
+        return call(
+            meta, proj_u, proj_v, proj_u, proj_v, e, rcv2d, snd2d, gid2d,
+            w_e, b0.reshape(1, L), w2, b2.reshape(1, L),
+        )
+
+
+def _step2_bwd_kernel(meta_ref, u_r_ref, v_r_ref, u_s_ref, v_s_ref, e_ref,
+                      z_upd_ref, dz_upd_ref, dr_ref, dm_ref, rcv_ref,
+                      snd_ref, gid_ref, we_ref, b0_ref, w2_ref, b2_ref,
+                      de_ref, dpre1_ref, dpre2_ref, du_r_ref, dv_r_ref,
+                      dwb_ref, *, n_graphs: int):
+    """Backward: recomputes both pre-activations from the streamed inputs,
+    gathers the scatter/moment cotangents, and emits:
+    - de (edge stream): (dpre1+dpre2) @ We^T
+    - dpre1/dpre2 streams (scattered over SENDERS outside, via the
+      sender-view MXU scatter — sender-tile revisits are non-consecutive
+      in rcv-major grid order, so they can't accumulate in-kernel)
+    - du_rcv/dv_rcv tile accumulators (rcv revisits ARE consecutive)
+    - packed [dW2; db2; dWe; db0] accumulator."""
+    dt = e_ref.dtype
+    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    b = pl.program_id(0)
+    tile = meta_ref[0, b]
+    prev = meta_ref[0, jnp.maximum(b - 1, 0)]
+    tile_first = jnp.logical_or(b == 0, tile != prev)
+    s_base = meta_ref[1, b] * NODE_TILE
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
+    onehot_r = (col_ids == rcv_ref[:, :] - tile * NODE_TILE).astype(dt)
+    onehot_s = (col_ids == snd_ref[:, :] - s_base).astype(dt)
+    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
+
+    def mm(x, y, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            x.astype(dt), y.astype(dt), dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    ep = mm(e_ref[:, :], we_ref[:, :])
+    b0 = b0_ref[0, :].astype(jnp.float32)
+    b2 = b2_ref[0, :].astype(jnp.float32)
+
+    # message path recompute
+    h1 = jnp.maximum(
+        mm(onehot_r, u_r_ref[:, :]) + mm(onehot_s, v_s_ref[:, :]) + ep + b0,
+        0.0,
+    )
+    z_msg = jnp.maximum(mm(h1, w2_ref[:, :]) + b2, 0.0) * mask
+    g_r = mm(onehot_r, dr_ref[:, :])
+    dz_msg = g_r + dm_ref[0:1, :] + 2.0 * dm_ref[1:2, :] * z_msg
+    dy1 = dz_msg * (z_msg > 0)
+    dh1 = mm(dy1, w2_ref[:, :], ((1,), (1,)))
+    dpre1 = dh1 * (h1 > 0)
+
+    # edge-update path (z_upd streamed)
+    h2 = jnp.maximum(
+        mm(onehot_r, v_r_ref[:, :]) + mm(onehot_s, u_s_ref[:, :]) + ep + b0,
+        0.0,
+    )
+    z_upd = z_upd_ref[:, :].astype(jnp.float32)
+    dz_upd = (
+        dz_upd_ref[:, :].astype(jnp.float32)
+        + dm_ref[2:3, :] + 2.0 * dm_ref[3:4, :] * z_upd
+    )
+    dy2 = dz_upd * (z_upd > 0)
+    dh2 = mm(dy2, w2_ref[:, :], ((1,), (1,)))
+    dpre2 = dh2 * (h2 > 0)
+
+    dpre_sum = dpre1 + dpre2
+    de_ref[:, :] = mm(dpre_sum, we_ref[:, :], ((1,), (1,))).astype(dt)
+    dpre1_ref[:, :] = dpre1.astype(dt)
+    dpre2_ref[:, :] = dpre2.astype(dt)
+
+    du_r = mm(onehot_r, dpre1, ((0,), (0,)))  # d proj_u at receiver rows
+    dv_r = mm(onehot_r, dpre2, ((0,), (0,)))  # d proj_v at receiver rows
+
+    @pl.when(tile_first)
+    def _():
+        du_r_ref[:, :] = du_r
+        dv_r_ref[:, :] = dv_r
+
+    @pl.when(jnp.logical_not(tile_first))
+    def _():
+        du_r_ref[:, :] = du_r_ref[:, :] + du_r
+        dv_r_ref[:, :] = dv_r_ref[:, :] + dv_r
+
+    L = h1.shape[1]
+    dw2 = mm(h1, dy1, ((0,), (0,))) + mm(h2, dy2, ((0,), (0,)))
+    db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
+    dwe = mm(e_ref[:, :], dpre_sum, ((0,), (0,)))
+    db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
+    zero = jnp.zeros((6, L), jnp.float32)
+    dwb = jnp.concatenate([dw2, db2, dwe, db0, zero], axis=0)
+
+    @pl.when(b == 0)
+    def _():
+        dwb_ref[:, :] = dwb
+
+    @pl.when(b != 0)
+    def _():
+        dwb_ref[:, :] = dwb_ref[:, :] + dwb
+
+
+def _step2_fwd(proj_u, proj_v, e, w_e, b0, w2, b2, receivers, senders, aux,
+               n_graphs):
+    out = _step2_forward(proj_u, proj_v, e, w_e, b0, w2, b2, receivers,
+                         senders, aux, n_graphs)
+    z_upd, r, m = out
+    return out, (proj_u, proj_v, e, w_e, b0, w2, b2, receivers, senders,
+                 aux, z_upd)
+
+
+def _step2_bwd(n_graphs, res, cot):
+    (proj_u, proj_v, e, w_e, b0, w2, b2, receivers, senders, aux,
+     z_upd) = res
+    dz_upd, dr, dm = cot
+    edge_gid, bt_rcv, bt_snd = aux[0], aux[1], aux[2]
+    snd_perm, snd_sorted, snd_block_tile = aux[3], aux[4], aux[5]
+    Ep, L = e.shape
+    Np = proj_u.shape[0]
+    n_blocks = Ep // EDGE_BLOCK
+    meta = jnp.stack(
+        [bt_rcv.astype(jnp.int32), bt_snd.astype(jnp.int32)], axis=0
+    )
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    snd2d = senders.astype(jnp.int32).reshape(Ep, 1)
+    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    tile_r, tile_s, edge, idx, mat, vec = _step2_specs(L, n_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[tile_r, tile_r, tile_s, tile_s, edge, edge, edge,
+                  tile_r,
+                  pl.BlockSpec((8, L), lambda b, mt: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  idx, idx, idx, mat, vec, mat, vec],
+        out_specs=(
+            edge, edge, edge,
+            tile_r,
+            pl.BlockSpec((NODE_TILE, L), lambda b, mt: (mt[0, b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * L + 8, L), lambda b, mt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    with _maybe_interpret():
+        call = pl.pallas_call(
+            functools.partial(_step2_bwd_kernel, n_graphs=n_graphs),
+            out_shape=(
+                jax.ShapeDtypeStruct((Ep, L), e.dtype),  # de
+                jax.ShapeDtypeStruct((Ep, L), e.dtype),  # dpre1
+                jax.ShapeDtypeStruct((Ep, L), e.dtype),  # dpre2
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),  # du_rcv
+                jax.ShapeDtypeStruct((Np, L), jnp.float32),  # dv_rcv
+                jax.ShapeDtypeStruct((2 * L + 8, L), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )
+        de, dpre1, dpre2, du_rcv, dv_rcv, dwb = call(
+            meta, proj_u, proj_v, proj_u, proj_v, e, z_upd, dz_upd, dr,
+            dm, rcv2d, snd2d, gid2d, w_e, b0.reshape(1, L), w2,
+            b2.reshape(1, L),
+        )
+    # sender-side scatters: pre-permuted MXU scatter (fast) or XLA fallback
+    if snd_perm is not None:
+        from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
+
+        def snd_scatter(stream):
+            s = jnp.take(stream.astype(jnp.float32), snd_perm, axis=0,
+                         mode="fill", fill_value=0.0)
+            return pallas_segment_sum(s, snd_sorted, snd_block_tile, Np)
+    else:
+        from p_div_gnn_tpu.ops.segment import segment_sum
+
+        def snd_scatter(stream):
+            return segment_sum(stream.astype(jnp.float32), senders, Np,
+                               indices_are_sorted=False)
+
+    du = du_rcv + snd_scatter(dpre2)  # u appears at snd in the UPDATE path
+    dv = dv_rcv + snd_scatter(dpre1)  # v appears at snd in the MESSAGE path
+    # dwb rows: [dW2 (L); db2 (1); dWe (L); db0 (1); zero padding (6)]
+    return (
+        du.astype(proj_u.dtype),
+        dv.astype(proj_v.dtype),
+        de,
+        dwb[L + 1 : 2 * L + 1].astype(w_e.dtype),
+        dwb[2 * L + 1].astype(b0.dtype),
+        dwb[:L].astype(w2.dtype),
+        dwb[L].astype(b2.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+fused_edge_step2.defvjp(_step2_fwd, _step2_bwd)

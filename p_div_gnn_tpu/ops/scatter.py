@@ -21,9 +21,13 @@ def scatter_add(
     num_nodes: int,
     block_tile: jax.Array | None = None,
     impl: str = "xla",
+    sorted_receivers: bool = True,
 ) -> jax.Array:
     if impl == "xla":
-        return segment_sum(messages, receivers, num_nodes, indices_are_sorted=True)
+        return segment_sum(
+            messages, receivers, num_nodes,
+            indices_are_sorted=sorted_receivers,
+        )
     if impl == "pallas":
         from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
 

@@ -35,6 +35,7 @@ class GraphLoader:
         div_per_node: int = 16,
         cache_device_batches: bool | None = None,
         cache_groups: bool = False,
+        pair_blocks: bool = False,
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -54,6 +55,7 @@ class GraphLoader:
         # regrouping for zero per-epoch host→device traffic — decisive when
         # the host link is slow (remote-TPU tunnels). Off by default.
         self.cache_groups = cache_groups
+        self.pair_blocks = pair_blocks
         self._device_cache: list[GraphBatch] | None = None
         self.node_buckets = default_node_buckets()
         # Edge/div capacities are TIED to the node bucket, so the number of
@@ -107,6 +109,7 @@ class GraphLoader:
                         pack_batch(
                             bs, n_graphs=self.batch_size, tile=self.tile,
                             pad_nodes=pn, pad_edges=pe, pad_div=pd,
+                            pair_blocks=self.pair_blocks,
                         ),
                     )
                 )
@@ -128,6 +131,7 @@ class GraphLoader:
                 pad_nodes=pad_nodes,
                 pad_edges=pad_edges,
                 pad_div=pad_div,
+                pair_blocks=self.pair_blocks,
             )
             if self.cache_device_batches:
                 import jax

@@ -38,10 +38,15 @@ def main():
     batch, n_edges, n_nodes = build_workload()
     print(f"workload: {n_nodes} nodes / {n_edges} edges "
           f"(padded {batch.num_nodes_padded}/{batch.num_edges_padded})")
+    batches = {impl: batch for impl in impls}
+    if "fused2" in impls:
+        batches["fused2"], _, _ = build_workload(pair_blocks=True)
+        print(f"pair layout: {batches['fused2'].num_edges_padded} edge slots")
 
     stats = NormStats.ones()
     cases = {}
     for impl in impls:
+        batch = batches[impl]
         model = EncodeProcessDecode(
             latent_size=128, message_passing_steps=10, scatter_impl=impl
         )
@@ -62,13 +67,13 @@ def main():
         jax.block_until_ready(fwd(params, batch))
         jax.block_until_ready(grad(params, batch))
         jax.block_until_ready(jstep(params, opt_state, batch))
-        cases[impl] = (fwd, grad, jstep, params, opt_state)
+        cases[impl] = (fwd, grad, jstep, params, opt_state, batch)
 
     best = {impl: [1e9, 1e9, 1e9] for impl in impls}
     rounds = int(os.environ.get("PDG_PROFILE_ROUNDS", "6"))
     for r in range(rounds):
         for impl in impls:
-            fwd, grad, jstep, params, opt_state = cases[impl]
+            fwd, grad, jstep, params, opt_state, batch = cases[impl]
             t = [
                 block_time(fwd, params, batch),
                 block_time(grad, params, batch),

@@ -163,3 +163,110 @@ def test_fused_model_grads_same_with_and_without_sender_view():
     for a, b in zip(jax.tree.leaves(g_view), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def _pair_batch(seed=0):
+    from p_div_gnn_tpu.graphs import pack_batch
+    from test_model import _mesh_sample
+
+    samples = [_mesh_sample(seed), _mesh_sample(seed + 1, nx=4)]
+    return (
+        pack_batch(samples, n_graphs=2, pair_blocks=True),
+        pack_batch(samples, n_graphs=2),
+    )
+
+
+def test_pair_layout_preserves_edges():
+    """blockify_edges_pair must keep exactly the real (sender, receiver,
+    weight) multiset and give every block single rcv AND snd tiles."""
+    pair, canon = _pair_batch(3)
+    from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
+
+    for b in (pair, canon):
+        real = np.asarray(b.edge_gid) < 2
+        key = (np.asarray(b.senders)[real] * 10**6
+               + np.asarray(b.receivers)[real])
+        if b is pair:
+            pair_keys = np.sort(key)
+        else:
+            canon_keys = np.sort(key)
+    np.testing.assert_array_equal(pair_keys, canon_keys)
+    rt = np.asarray(pair.receivers).reshape(-1, EDGE_BLOCK) // 128
+    st = np.asarray(pair.senders).reshape(-1, EDGE_BLOCK) // 128
+    assert (rt == rt[:, :1]).all() and (st == st[:, :1]).all()
+    np.testing.assert_array_equal(rt[:, 0], np.asarray(pair.edge_block_tile))
+    np.testing.assert_array_equal(
+        st[:, 0], np.asarray(pair.edge_block_snd_tile)
+    )
+    # rcv-tile-major: R accumulator revisits stay consecutive
+    bt = np.asarray(pair.edge_block_tile)
+    assert (np.diff(bt) >= 0).all()
+
+
+def test_fused2_forward_and_grads_match_xla():
+    """fused2 (pair-blocked full fusion) ≡ the XLA path on the same
+    samples — forward and all parameter gradients."""
+    import jax
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from test_model import STATS
+
+    pair, canon = _pair_batch(7)
+    xla_model = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    f2_model = EncodeProcessDecode(latent_size=16, message_passing_steps=2,
+                                   scatter_impl="fused2", remat_steps=False)
+    params = xla_model.init(jax.random.PRNGKey(0), canon, STATS)
+
+    ref = np.asarray(xla_model.apply(params, canon, STATS,
+                                     scale_output=True))
+    got = np.asarray(f2_model.apply(params, pair, STATS, scale_output=True))
+    real = np.asarray(canon.node_mask)
+    np.testing.assert_allclose(got[real], ref[real], rtol=1e-4, atol=1e-5)
+
+    def loss(model, p, b):
+        out = model.apply(p, b, STATS, scale_output=False)
+        mask = b.node_mask.astype(out.dtype)[:, None]
+        return ((out * mask) ** 2).sum()
+
+    import functools
+    g_ref = jax.grad(functools.partial(loss, xla_model))(params, canon)
+    g_f2 = jax.grad(functools.partial(loss, f2_model))(params, pair)
+    import jax as _j
+    for (pa, a), (_, b) in zip(
+        _j.tree_util.tree_leaves_with_path(g_f2),
+        _j.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+            err_msg=str(pa),
+        )
+
+
+def test_hybrid_impl_matches_xla():
+    """scatter_impl='hybrid' (XLA fwd + sender-view VJP): forward AND
+    grads identical to the pure XLA path."""
+    import functools
+    import jax
+    from p_div_gnn_tpu.graphs import pack_batch
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from test_model import STATS, _mesh_sample
+
+    batch = pack_batch([_mesh_sample(11), _mesh_sample(12, nx=4)], n_graphs=2)
+    xm = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    hm = EncodeProcessDecode(latent_size=16, message_passing_steps=2,
+                             scatter_impl="hybrid")
+    params = xm.init(jax.random.PRNGKey(0), batch, STATS)
+    np.testing.assert_allclose(
+        np.asarray(hm.apply(params, batch, STATS)),
+        np.asarray(xm.apply(params, batch, STATS)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    def loss(model, p):
+        out = model.apply(p, batch, STATS, scale_output=False)
+        return (out ** 2).sum()
+
+    g_h = jax.grad(functools.partial(loss, hm))(params)
+    g_x = jax.grad(functools.partial(loss, xm))(params)
+    for a, b in zip(jax.tree.leaves(g_h), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
