@@ -150,10 +150,15 @@ def main() -> None:
     # (XLA cost analysis + v5e peaks); see docs/evidence/roofline.json
     try:
         roof = json.load(open("docs/evidence/roofline.json"))
-        result["pct_speed_of_light"] = round(
-            100.0 * roof["speed_of_light_ms"] / (best * 1e3), 1
-        )
-        result["sol_bound"] = roof["bound"]
+        # compare against the SAME impl the roofline measured (other impls
+        # use different layouts/dtypes, so %SoL would mismatch its config)
+        t_ref = best_t.get(roof["impl"])
+        if t_ref is not None and t_ref < float("inf"):
+            result["pct_speed_of_light"] = round(
+                100.0 * roof["speed_of_light_ms"] / (t_ref * 1e3), 1
+            )
+            result["sol_impl"] = roof["impl"]
+            result["sol_bound"] = roof["bound"]
     except Exception:
         pass
     print(json.dumps(result))

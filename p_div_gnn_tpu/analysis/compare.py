@@ -16,6 +16,7 @@ then prints the mean Loss/Divergence summary the paper reports
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 
@@ -197,10 +198,18 @@ def nmse_element_wise(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return (gt - pred) ** 2 / ((gt - mean_gt) ** 2).sum(axis=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _model_folder_meta(folder: str) -> tuple:
+    """Cached per-folder dataset.csv + normalize_params.json reads (the
+    figure fan-out hits each folder many times)."""
+    pred_df = pd.read_csv(Path(folder) / "dataset.csv")
+    norm = json.loads((Path(folder) / "normalize_params.json").read_text())
+    return pred_df, norm
+
+
 def _load_model_sample(folder: Path, i: int) -> tuple[np.ndarray, dict]:
-    pred_df = pd.read_csv(folder / "dataset.csv")
+    pred_df, norm = _model_folder_meta(str(folder))
     data = load_sample_npz(pred_df["data_filename"][i])
-    norm = json.loads((folder / "normalize_params.json").read_text())
     return np.asarray(data["stress_field"], np.float64), norm
 
 

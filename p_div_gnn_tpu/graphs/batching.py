@@ -91,6 +91,11 @@ def blockify_edges(
     cap = np.maximum(((counts + edge_block - 1) // edge_block), 1) * edge_block
     total = int(cap.sum())
     if min_capacity and total < min_capacity:
+        assert (min_capacity - total) % edge_block == 0, (
+            f"min_capacity {min_capacity} not EDGE_BLOCK({edge_block})-"
+            f"aligned with layout total {total} (check PDG_EDGE_BLOCK vs "
+            "the edge-capacity rounding)"
+        )
         cap[-1] += min_capacity - total  # whole extra blocks on the last tile
         total = min_capacity
     starts = np.concatenate([[0], np.cumsum(cap)])[:-1]
@@ -167,6 +172,10 @@ def blockify_edges_pair(
     cap = np.maximum((counts + edge_block - 1) // edge_block, 1) * edge_block
     total = int(cap.sum())
     if min_capacity and total < min_capacity:
+        assert (min_capacity - total) % edge_block == 0, (
+            f"min_capacity {min_capacity} not EDGE_BLOCK({edge_block})-"
+            "aligned for the pair layout"
+        )
         cap[-1] += min_capacity - total
         total = min_capacity
     starts = np.concatenate([[0], np.cumsum(cap)])[:-1]

@@ -92,11 +92,13 @@ def run_experience(
     # periodic_graph=True even for no-periodic runs (`gnn_train.py:386`);
     # reproduced deliberately.
     test_ds = MeshStressFieldDataset(test_df)
+    pair_blocks = scatter_impl == "fused2"
     train_loader = GraphLoader(
         train_ds.samples, batch_size, shuffle=True, seed=SEED,
-        cache_groups=cache_train_batches,
+        cache_groups=cache_train_batches, pair_blocks=pair_blocks,
     )
-    test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False)
+    test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False,
+                              pair_blocks=pair_blocks)
 
     if scatter_impl != "xla" and jax.default_backend() == "cpu":
         # Pallas kernels only run interpreted on CPU, and interpret mode's
@@ -118,6 +120,11 @@ def run_experience(
     )
     mesh = None
     if data_parallel and len(jax.devices()) > 1:
+        if scatter_impl == "fused2":
+            raise ValueError(
+                "scatter_impl='fused2' is single-shard for now — use "
+                "'fused' or 'hybrid' with data_parallel"
+            )
         from jax.sharding import Mesh
 
         from p_div_gnn_tpu.parallel.dp import DPGraphLoader

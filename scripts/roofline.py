@@ -85,9 +85,12 @@ def main() -> None:
     t_bf16 = flops / PEAK_BF16
     t_fp32_3p = 3 * t_bf16
     t_fp32_6p = 6 * t_bf16
-    # the fused kernels run fp32 HIGHEST matmuls unless stream_dtype=bf16
-    n_passes = 1 if args.stream_dtype == "bfloat16" else 6
-    sol = max(t_mem, n_passes * t_bf16)
+    # Speed of light must LOWER-bound achievable time, so the compute leg
+    # uses the optimistic 1-pass bf16 peak (XLA's flop count mixes VPU ops
+    # and matmuls of several precisions; multiplying it all by the fp32
+    # pass count would overstate the floor and flatter %SoL). The
+    # pass-adjusted fp32 bounds are reported alongside as context.
+    sol = max(t_mem, t_bf16)
     report = {
         "impl": args.impl,
         "stream_dtype": args.stream_dtype,
@@ -104,7 +107,7 @@ def main() -> None:
         "pct_speed_of_light": round(100 * sol / best, 1),
         "edges_per_s_measured": int(n_edges / best),
         "edges_per_s_at_sol": int(n_edges / sol),
-        "bound": "hbm" if t_mem > n_passes * t_bf16 else "mxu",
+        "bound": "hbm" if t_mem > t_bf16 else "mxu",
         "achieved_hbm_gbps": round(bytes_acc / best / 1e9, 1),
         "achieved_tflops_raw": round(flops / best / 1e12, 2),
     }

@@ -10,7 +10,7 @@ set -u
 CFG=$1
 LOG=$2
 TARGET=${3:-200}
-STALL_S=${STALL_S:-420}
+STALL_S=${STALL_S:-900}
 
 while true; do
   RESUME=""
@@ -21,6 +21,12 @@ EOF
 )
   if [ -f "$RESULTS/weights/last_epoch_model_weights.ckpt" ]; then
     RESUME="--resume"
+  elif [ -d "$RESULTS/weights" ]; then
+    # a previous attempt died before its first checkpoint (e.g. killed
+    # mid-compile): clear the partial run or the fresh-run
+    # mkdir(exist_ok=False) would crash-loop
+    echo "WATCHDOG: clearing checkpoint-less $RESULTS" >> "$LOG"
+    rm -rf "$RESULTS"
   fi
   echo "WATCHDOG: launching (resume='$RESUME') $(date -u +%H:%M:%S)" >> "$LOG"
   python -u -m p_div_gnn_tpu.cli train --config_path "$CFG" $RESUME >> "$LOG" 2>&1 &
