@@ -330,6 +330,11 @@ def make_partitioned_train_step(
 
 
 def device_put_partitioned(batch, send_idx, mesh: Mesh, axis: str = "graph"):
-    sharding = NamedSharding(mesh, P(axis))
-    put = lambda x: jax.device_put(jnp.asarray(x), sharding)
-    return jax.tree.map(put, batch), put(send_idx)
+    """Place shard-stacked arrays onto the mesh (multi-process aware: each
+    process contributes only its addressable rows, like the DP path)."""
+    from p_div_gnn_tpu.parallel.dp import device_put_sharded_batch
+
+    return (
+        device_put_sharded_batch(batch, mesh, axis),
+        device_put_sharded_batch(send_idx, mesh, axis),
+    )

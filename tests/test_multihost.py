@@ -98,3 +98,80 @@ def test_two_process_dp_step_matches_single_process():
     )
     np.testing.assert_allclose(results[0][0], ref_total, rtol=1e-5)
     np.testing.assert_allclose(results[0][1], ref_checksum, rtol=1e-5)
+
+
+def test_two_process_partitioned_step_matches_single_process():
+    """Edge-partitioned step with the per-peer a2a halo across 2 REAL
+    processes (2 devices each): identical loss/params on both, equal to
+    the single-process 4-device run."""
+    port = _free_port()
+    workers = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mh",
+            PDG_MH_MODE="partition",
+        )
+        workers.append(
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "multihost_worker.py")],
+                env=env, cwd=str(REPO), stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    results = {}
+    logs = []
+    for w in workers:
+        out, _ = w.communicate(timeout=570)
+        logs.append(out)
+        assert w.returncode == 0, f"worker failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_RESULT"):
+                _, pid, total, checksum = line.split()
+                results[int(pid)] = (float(total), float(checksum))
+    assert set(results) == {0, 1}, f"missing results:\n{logs}"
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+
+    # single-process 4-device reference
+    import jax
+    import optax
+    from jax.sharding import Mesh
+
+    from p_div_gnn_tpu.graphs import pack_batch
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from p_div_gnn_tpu.parallel.partition import (
+        device_put_partitioned,
+        make_partitioned_train_step,
+        partition_batch,
+    )
+
+    from test_model import STATS, _mesh_sample
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    batch = pack_batch([_mesh_sample(0), _mesh_sample(1, nx=4)], n_graphs=2)
+    stacked, send_idx = partition_batch(batch, n_shards=4, halo_mode="a2a")
+    local0 = jax.tree.map(
+        lambda x: np.asarray(x)[0] if getattr(x, "ndim", 0) else x, stacked
+    )
+    stacked, send_idx = device_put_partitioned(stacked, send_idx, mesh)
+    model = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    optimizer = optax.adam(1e-3)
+    params = model.init(jax.random.PRNGKey(0), local0, STATS)
+    opt_state = optimizer.init(params)
+    step = make_partitioned_train_step(
+        model, STATS, optimizer, mesh,
+        divergence_penalty=10.0, optimize_divergence=True,
+    )
+    params, _, aux = step(params, opt_state, stacked, send_idx)
+    np.testing.assert_allclose(results[0][0], float(aux["total"]), rtol=1e-5)
+    ref_checksum = float(
+        sum(abs(np.asarray(x)).sum() for x in jax.tree.leaves(params))
+    )
+    np.testing.assert_allclose(results[0][1], ref_checksum, rtol=1e-5)
