@@ -11,8 +11,14 @@ Mirrors the reference CLIs:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# persistent XLA compile cache: 200-epoch runs relaunch (watchdog resumes)
+# and re-pay ~minutes of compiles otherwise
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def train_main(argv: list[str] | None = None) -> None:

@@ -50,19 +50,50 @@ def load_sample(
     )
 
 
+def _load_sample_job(args: tuple) -> GraphSample:
+    mesh_fn, data_fn, periodic, i = args
+    return load_sample(mesh_fn, data_fn, periodic, mesh_id=i)
+
+
 class MeshStressFieldDataset:
-    """In-memory dataset over a metadata dataframe (C6)."""
+    """In-memory dataset over a metadata dataframe (C6).
+
+    Loading parallelizes across processes (the host analog of the
+    reference's `process_map` generation parallelism) — VTK parse + graph
+    build + periodic-edge construction per sample are CPU-bound; order is
+    preserved. Set ``PDG_LOAD_WORKERS=0`` to force the serial path.
+    """
 
     def __init__(self, dataframe: pd.DataFrame, periodic_graph: bool = True):
+        import os
+
         self.dataframe = dataframe
         self.periodic_graph = periodic_graph
-        self.samples: list[GraphSample] = []
-        for i, (mesh_fn, data_fn) in enumerate(
+        jobs = list(
             zip(dataframe["mesh_filename"], dataframe["data_filename"])
-        ):
-            self.samples.append(
-                load_sample(mesh_fn, data_fn, periodic_graph, mesh_id=i)
-            )
+        )
+        workers = int(
+            os.environ.get("PDG_LOAD_WORKERS", os.cpu_count() or 1)
+        )
+        if workers > 1 and len(jobs) >= 64:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=workers) as pool:
+                self.samples = list(
+                    pool.map(
+                        _load_sample_job,
+                        [
+                            (m, d, periodic_graph, i)
+                            for i, (m, d) in enumerate(jobs)
+                        ],
+                        chunksize=64,
+                    )
+                )
+        else:
+            self.samples = [
+                load_sample(m, d, periodic_graph, mesh_id=i)
+                for i, (m, d) in enumerate(jobs)
+            ]
         self.stats = compute_norm_stats(self.samples)
 
     def __len__(self) -> int:
