@@ -92,14 +92,6 @@ def run_experience(
     # periodic_graph=True even for no-periodic runs (`gnn_train.py:386`);
     # reproduced deliberately.
     test_ds = MeshStressFieldDataset(test_df)
-    pair_blocks = scatter_impl == "fused2"
-    train_loader = GraphLoader(
-        train_ds.samples, batch_size, shuffle=True, seed=SEED,
-        cache_groups=cache_train_batches, pair_blocks=pair_blocks,
-    )
-    test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False,
-                              pair_blocks=pair_blocks)
-
     if scatter_impl != "xla" and jax.default_backend() == "cpu":
         # Pallas kernels only run interpreted on CPU, and interpret mode's
         # IO effects are incompatible with per-step remat — fall back to
@@ -109,6 +101,14 @@ def run_experience(
             "using 'xla' on CPU"
         )
         scatter_impl = "xla"
+    pair_blocks = scatter_impl == "fused2"
+    train_loader = GraphLoader(
+        train_ds.samples, batch_size, shuffle=True, seed=SEED,
+        cache_groups=cache_train_batches, pair_blocks=pair_blocks,
+    )
+    test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False,
+                              pair_blocks=pair_blocks)
+
     model = EncodeProcessDecode(
         latent_size=latent_size,
         message_passing_steps=message_passing_steps,
