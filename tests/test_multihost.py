@@ -37,6 +37,10 @@ def test_two_process_dp_step_matches_single_process():
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
             JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mh",
+            # the worker is run by path, so Python puts tests/ (not the
+            # repo root) on sys.path — make the package importable without
+            # requiring a pip-installed copy
+            PYTHONPATH=str(REPO),
         )
         workers.append(
             subprocess.Popen(
@@ -117,6 +121,7 @@ def test_two_process_partitioned_step_matches_single_process():
             JAX_PROCESS_ID=str(pid),
             JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mh",
             PDG_MH_MODE="partition",
+            PYTHONPATH=str(REPO),
         )
         workers.append(
             subprocess.Popen(
