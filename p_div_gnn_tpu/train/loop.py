@@ -200,6 +200,14 @@ class Trainer:
                 if self.optimize_divergence:
                     tr_div = tr_div + aux["divergence"]
                 n_tr += 1
+                # Liveness heartbeat for the stall watchdog: counts DISPATCH
+                # (no device sync — reading a metric here would serialize
+                # host round-trips). A wedged tunnel still stops this loop
+                # once the dispatch queue fills, so silence remains a
+                # reliable stall signal.
+                if verbose and n_tr % 100 == 0:
+                    print(f"  epoch {epoch + 1}: {n_tr} steps dispatched",
+                          flush=True)
             te_nmse = te_div = te_total = jnp.float32(0)
             n_te = 0
             for batch in test_loader:
