@@ -74,7 +74,7 @@ def build_workload(n_graphs: int = 16, seed: int = 0,
     return batch, n_real_edges, n_real_nodes
 
 
-def make_train_step(scatter_impl: str, batch):
+def make_train_step(scatter_impl: str, batch, stream_dtype: str = "float32"):
     import jax
 
     from p_div_gnn_tpu.graphs.container import NormStats
@@ -82,7 +82,8 @@ def make_train_step(scatter_impl: str, batch):
     from p_div_gnn_tpu.train.loop import Trainer
 
     model = EncodeProcessDecode(
-        latent_size=128, message_passing_steps=10, scatter_impl=scatter_impl
+        latent_size=128, message_passing_steps=10,
+        scatter_impl=scatter_impl, stream_dtype=stream_dtype,
     )
     stats = NormStats.ones()
     trainer = Trainer(
@@ -150,9 +151,12 @@ def main() -> None:
     # (XLA cost analysis + v5e peaks); see docs/evidence/roofline.json
     try:
         roof = json.load(open("docs/evidence/roofline.json"))
-        # compare against the SAME impl the roofline measured (other impls
-        # use different layouts/dtypes, so %SoL would mismatch its config)
+        # compare against the SAME config the roofline measured: impl AND
+        # stream dtype (bench times fp32-stream models only, so a roofline
+        # taken with bf16 streams must not be used as the floor here)
         t_ref = best_t.get(roof["impl"])
+        if roof.get("stream_dtype", "float32") != "float32":
+            t_ref = None
         if t_ref is not None and t_ref < float("inf"):
             result["pct_speed_of_light"] = round(
                 100.0 * roof["speed_of_light_ms"] / (t_ref * 1e3), 1

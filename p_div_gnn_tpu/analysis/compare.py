@@ -284,11 +284,8 @@ def render_cross_model_figures(
             gt = np.asarray(gdata["stress_field"], np.float64)
             labels = np.asarray(gdata["node_labels"])
             D = build_div_matrix(gdata)
-            sb, _ = _load_model_sample(Path(folders[baseline_name]), i)
-            sp, norm = _load_model_sample(Path(folders[proposed_name]), i)
-            mean_ls, std_ls = (
-                norm["mean_local_stress"], norm["std_local_stress"]
-            )
+            sb, norm_b = _load_model_sample(Path(folders[baseline_name]), i)
+            sp, norm_p = _load_model_sample(Path(folders[proposed_name]), i)
             tag = f"topk{rank + 1}_sample_{i}"
             plot_two_model_stress(
                 pts, faces, sb, sp, gt, baseline_name, proposed_name,
@@ -301,18 +298,31 @@ def render_cross_model_figures(
                 root / "nmse" / f"{tag}.pdf",
             )
             # standardized divergence-norm fields, like the reference's
-            # `divergence_fields_standard` (`compare_results.py:1100-1140`)
-            std_of = lambda s: standardize(s, mean_ls, std_ls)
+            # `divergence_fields_standard` (`compare_results.py:1100-1140`).
+            # Each model's field (and the GT it is held against) is
+            # standardized with that model's OWN normalize_params —
+            # matching evaluate_model_folder — so two folders with
+            # different training datasets still render on the right
+            # scale; the shared FEM panel uses the proposed (headline)
+            # model's frame.
+            std_b = lambda s: standardize(
+                s, norm_b["mean_local_stress"], norm_b["std_local_stress"]
+            )
+            std_p = lambda s: standardize(
+                s, norm_p["mean_local_stress"], norm_p["std_local_stress"]
+            )
             plot_two_model_divergence(
                 pts, faces,
-                divergence_norm_field(std_of(sb), D, labels),
-                divergence_norm_field(std_of(sp), D, labels),
-                divergence_norm_field(std_of(gt), D, labels),
+                divergence_norm_field(std_b(sb), D, labels),
+                divergence_norm_field(std_p(sp), D, labels),
+                divergence_norm_field(std_p(gt), D, labels),
                 baseline_name, proposed_name,
                 root / "divergence_fields" / f"{tag}.pdf",
             )
             for c, comp in enumerate(("XX", "YY", "XY")):
-                for name, s in ((baseline_name, sb), (proposed_name, sp)):
+                for name, s, std_of in (
+                    (baseline_name, sb, std_b), (proposed_name, sp, std_p)
+                ):
                     plot_two_histograms(
                         std_of(gt)[:, c], std_of(s)[:, c], "FEM", name,
                         f"Distribution Stress {comp}",

@@ -308,6 +308,7 @@ def pack_batch(
     node_buckets: tuple[int, ...] | None = None,
     edge_buckets: tuple[int, ...] | None = None,
     pair_blocks: bool = False,
+    sender_view: bool = True,
 ) -> GraphBatch:
     """Concatenate samples into one padded batch (host-side, numpy).
 
@@ -426,9 +427,15 @@ def pack_batch(
             min_capacity=Ep,
         )
 
-    snd_perm, snd_sorted, snd_block_tile = build_sender_view(
-        senders, num_nodes=Np, tile=tile
-    )
+    # The sender-major view only feeds the fused/hybrid sender-gather VJP;
+    # building it costs a host per-tile loop + ~9 B/edge-slot of extra
+    # host→device transfer per step, so xla/pallas consumers opt out.
+    if sender_view:
+        snd_perm, snd_sorted, snd_block_tile = build_sender_view(
+            senders, num_nodes=Np, tile=tile
+        )
+    else:
+        snd_perm = snd_sorted = snd_block_tile = None
     return GraphBatch(
         pos=pos,
         mean_stress=mean_stress,

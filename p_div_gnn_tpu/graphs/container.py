@@ -59,7 +59,10 @@ class GraphBatch(flax.struct.PyTreeNode):
     # instead of XLA's per-element generic scatter (see
     # batching.build_sender_view). None when a producer doesn't build it
     # (e.g. edge-partitioned shards) — consumers fall back to XLA.
-    snd_perm: Array | None = None  # (Ep2,) i32 source edge slot, -1 pad
+    # padding slots hold batching.PAD_SLOT (2**31-1, an out-of-bounds
+    # sentinel consumed via jnp.take(mode="fill")) — NOT -1, which would
+    # silently wrap to the last slot
+    snd_perm: Array | None = None  # (Ep2,) i32 source edge slot
     snd_sorted: Array | None = None  # (Ep2,) i32 sender node per slot
     snd_block_tile: Array | None = None  # (Ep2/EDGE_BLOCK,) i32
 

@@ -36,6 +36,7 @@ class GraphLoader:
         cache_device_batches: bool | None = None,
         cache_groups: bool = False,
         pair_blocks: bool = False,
+        sender_view: bool = True,
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -56,14 +57,26 @@ class GraphLoader:
         # the host link is slow (remote-TPU tunnels). Off by default.
         self.cache_groups = cache_groups
         self.pair_blocks = pair_blocks
+        # sender-major view: only consumed by the fused/hybrid sender VJP;
+        # callers on the xla/pallas paths pass False to skip its host
+        # build + per-step transfer
+        self.sender_view = sender_view
         self._device_cache: list[GraphBatch] | None = None
         self.node_buckets = default_node_buckets()
         # Edge/div capacities are TIED to the node bucket, so the number of
         # distinct compiled programs is bounded by the node-bucket count
         # alone (mesh-graph density is bounded: ~5.4 edges and ~12.5 div
         # entries per node, plus block-alignment overhead).
-        self.edges_per_node = edges_per_node
+        # Pair-blocked layouts pad each (receiver-tile × sender-tile) run
+        # separately — measured blow-up ~1.9x at EDGE_BLOCK=128 on the
+        # flagship mesh family — so the edge capacity tied to the node
+        # bucket needs matching headroom or every batch composition gets
+        # its own capacity (and its own XLA compile).
+        self.edges_per_node = (
+            edges_per_node * 2 if pair_blocks else edges_per_node
+        )
         self.div_per_node = div_per_node
+        self._capacity_overflow_warned = False
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
@@ -84,6 +97,22 @@ class GraphLoader:
             pad_div = ((tot_div + 4095) // 4096) * 4096
         return pad_nodes, pad_edges, pad_div
 
+    def _check_capacity(self, batch: GraphBatch, pad_edges: int) -> None:
+        """Warn once if the packed layout outgrew the bucket capacity —
+        every such batch composition compiles its own XLA program."""
+        if (
+            not self._capacity_overflow_warned
+            and batch.num_edges_padded > pad_edges
+        ):
+            self._capacity_overflow_warned = True
+            print(
+                f"GraphLoader: packed edge layout ({batch.num_edges_padded}"
+                f" slots) exceeded the bucket capacity ({pad_edges}); "
+                "recompiles per batch composition likely — raise "
+                "edges_per_node",
+                flush=True,
+            )
+
     def __iter__(self) -> Iterator[GraphBatch]:
         if self._device_cache is not None:
             if self.cache_groups and self.shuffle:
@@ -103,16 +132,14 @@ class GraphLoader:
                 idx = order[start : start + self.batch_size]
                 bs = [self.samples[i] for i in idx]
                 pn, pe, pd = self._capacities(bs)
-                cache.append(
-                    jax.tree.map(
-                        jax.device_put,
-                        pack_batch(
-                            bs, n_graphs=self.batch_size, tile=self.tile,
-                            pad_nodes=pn, pad_edges=pe, pad_div=pd,
-                            pair_blocks=self.pair_blocks,
-                        ),
-                    )
+                host_batch = pack_batch(
+                    bs, n_graphs=self.batch_size, tile=self.tile,
+                    pad_nodes=pn, pad_edges=pe, pad_div=pd,
+                    pair_blocks=self.pair_blocks,
+                    sender_view=self.sender_view,
                 )
+                self._check_capacity(host_batch, pe)
+                cache.append(jax.tree.map(jax.device_put, host_batch))
             self._device_cache = cache
             yield from cache
             return
@@ -132,7 +159,9 @@ class GraphLoader:
                 pad_edges=pad_edges,
                 pad_div=pad_div,
                 pair_blocks=self.pair_blocks,
+                sender_view=self.sender_view,
             )
+            self._check_capacity(batch, pad_edges)
             if self.cache_device_batches:
                 import jax
 

@@ -102,12 +102,18 @@ def run_experience(
         )
         scatter_impl = "xla"
     pair_blocks = scatter_impl == "fused2"
+    # the sender-major view feeds the fused/hybrid sender-gather VJP and
+    # the fused2 kernel's in-kernel sender gathers; only the xla/pallas
+    # paths never read it
+    sender_view = scatter_impl not in ("xla", "pallas")
     train_loader = GraphLoader(
         train_ds.samples, batch_size, shuffle=True, seed=SEED,
         cache_groups=cache_train_batches, pair_blocks=pair_blocks,
+        sender_view=sender_view,
     )
     test_loader = GraphLoader(test_ds.samples, batch_size, shuffle=False,
-                              pair_blocks=pair_blocks)
+                              pair_blocks=pair_blocks,
+                              sender_view=sender_view)
 
     model = EncodeProcessDecode(
         latent_size=latent_size,

@@ -22,25 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     impl = sys.argv[1] if len(sys.argv) > 1 else "fused"
     stream_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    from bench import build_workload
+    from bench import build_workload, make_train_step
 
     from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
-    from p_div_gnn_tpu.graphs.container import NormStats
-    from p_div_gnn_tpu.models import EncodeProcessDecode
-    from p_div_gnn_tpu.train.loop import Trainer
 
     batch, n_edges, n_nodes = build_workload(pair_blocks=impl == "fused2")
-    model = EncodeProcessDecode(
-        latent_size=128, message_passing_steps=10,
-        scatter_impl=impl, stream_dtype=stream_dtype,
+    # same construction as the headline benchmark (single source of truth)
+    step, params, opt_state = make_train_step(
+        impl, batch, stream_dtype=stream_dtype
     )
-    trainer = Trainer(model=model, stats=NormStats.ones(),
-                      learning_rate=1e-3, divergence_penalty=10.0,
-                      optimize_divergence=True)
-    params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
-    step = jax.jit(trainer._train_step_impl)  # full step, nothing DCE'd
-    params2, opt2, aux = step(params, opt_state, batch)
-    jax.block_until_ready(aux["total"])
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()

@@ -32,11 +32,16 @@ def main() -> None:
                 if sd == "bfloat16" and impl in ("xla", "pallas", "hybrid"):
                     continue  # stream dtype only affects the fused kernels
                 env = dict(os.environ, PDG_EDGE_BLOCK=str(eb))
-                r = subprocess.run(
-                    [sys.executable, os.path.join(HERE, "bench_impl.py"),
-                     impl, sd],
-                    env=env, capture_output=True, text=True, timeout=1800,
-                )
+                try:
+                    r = subprocess.run(
+                        [sys.executable, os.path.join(HERE, "bench_impl.py"),
+                         impl, sd],
+                        env=env, capture_output=True, text=True, timeout=1800,
+                    )
+                except subprocess.TimeoutExpired:
+                    # a wedged tunnel must not discard the finished cells
+                    print(f"TIMEOUT impl={impl} eb={eb} sd={sd}", flush=True)
+                    continue
                 line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
                 try:
                     row = json.loads(line)
@@ -45,6 +50,10 @@ def main() -> None:
                 except json.JSONDecodeError:
                     print(f"FAILED impl={impl} eb={eb} sd={sd}: "
                           f"{r.stderr.strip().splitlines()[-3:]}", flush=True)
+                # persist incrementally so a crash keeps completed cells
+                with open(args.out, "w") as fh:
+                    json.dump(sorted(rows, key=lambda r: r["step_ms"]),
+                              fh, indent=1)
     rows.sort(key=lambda r: r["step_ms"])
     with open(args.out, "w") as fh:
         json.dump(rows, fh, indent=1)

@@ -21,6 +21,14 @@ EOF
 )
   if [ -f "$RESULTS/weights/last_epoch_model_weights.ckpt" ]; then
     RESUME="--resume"
+  elif [ -f "$RESULTS/weights/model_weights.ckpt" ]; then
+    # killed in epoch 1 between the BEST save and the first LAST save:
+    # the best checkpoint is valid and resumable — promote it instead of
+    # wiping the run
+    echo "WATCHDOG: promoting best ckpt to last (kill landed between saves)" >> "$LOG"
+    cp "$RESULTS/weights/model_weights.ckpt" \
+       "$RESULTS/weights/last_epoch_model_weights.ckpt"
+    RESUME="--resume"
   elif [ -d "$RESULTS/weights" ]; then
     # a previous attempt died before its first checkpoint (e.g. killed
     # mid-compile): clear the partial run or the fresh-run
