@@ -264,6 +264,7 @@ def render_cross_model_figures(
     )
 
     index: dict[str, list[int]] = {k: v.tolist() for k, v in picks.items()}
+    figures_folder.mkdir(parents=True, exist_ok=True)
     (figures_folder / "cross_model_topk.json").write_text(
         json.dumps(
             {"baseline": baseline_name, "proposed": proposed_name, **index},

@@ -108,3 +108,75 @@ def test_evaluate_model_folder(tmp_path):
     assert len(metrics) == 3
     assert (metrics["nmse"] > 0).all() and (metrics["r2"] < 1).all()
     assert np.isfinite(metrics).all().all()
+
+
+def test_render_cross_model_figures(tmp_path):
+    """Figure fan-out runs end-to-end on two synthetic inference folders
+    with DIFFERENT normalize_params (pins the per-model standardization:
+    each model's divergence/distribution panels use its own params)."""
+    from p_div_gnn_tpu.analysis.compare import render_cross_model_figures
+    from p_div_gnn_tpu.graphs.meshio import write_vtk
+    from toy_meshes import grid_mesh
+
+    rng = np.random.default_rng(3)
+    gt_mesh_files, gt_files = [], []
+    (tmp_path / "gt").mkdir()
+    folders = {}
+    names = ("Base", "DivProp")  # "Div" in proposed triggers best_divergence
+    for name, norm in zip(names, (1.5, 3.0)):
+        inf = tmp_path / name / "fields"
+        inf.mkdir(parents=True)
+        folders[name] = tmp_path / name
+        (tmp_path / name / "normalize_params.json").write_text(
+            json.dumps({"mean_local_stress": 0.0, "std_local_stress": norm})
+        )
+    pred_files = {n: [] for n in names}
+    for i in range(4):
+        mesh = grid_mesh(4 + i, 4)
+        n = mesh.points.shape[0]
+        mf = tmp_path / "gt" / f"m{i}.vtk"
+        write_vtk(mf, mesh)
+        gt_mesh_files.append(str(mf))
+        nnz = 4 * n
+        gt = rng.normal(size=(n, 3))
+        payload = dict(
+            stress_field=gt,
+            node_labels=rng.choice([-1, 0, 1], size=n),
+            op_div_matrix_data=rng.normal(size=nnz),
+            op_div_matrix_row_indices=rng.integers(0, n, nnz),
+            op_div_matrix_col_indices=rng.integers(0, 2 * n, nnz),
+            op_div_matrix_shape=np.array([n, 2 * n]),
+        )
+        g = tmp_path / "gt" / f"s{i}.npz"
+        np.savez(g, **payload)
+        gt_files.append(str(g))
+        for k, name in enumerate(names):
+            payload["stress_field"] = gt * (0.8 + 0.1 * k) + 0.05 * i
+            p = tmp_path / name / "fields" / f"s{i}.npz"
+            np.savez(p, **payload)
+            pred_files[name].append(str(p))
+    gt_df = pd.DataFrame(
+        {"mesh_filename": gt_mesh_files, "data_filename": gt_files}
+    )
+    results = {}
+    for name in names:
+        pd.DataFrame({"data_filename": pred_files[name]}).to_csv(
+            folders[name] / "dataset.csv", index=False
+        )
+        results[name] = evaluate_model_folder(gt_df, folders[name])
+    figs = tmp_path / "figs"
+    index = render_cross_model_figures(
+        gt_df, results, folders, "Base", "DivProp", figs, topk=2,
+        figures_per_kind=1,
+    )
+    assert set(index) >= {
+        "worst_k_predictions", "best_k_predictions", "highest_k_differences",
+        "best_divergence",
+    }
+    assert (figs / "cross_model_topk.json").exists()
+    for kind, idxs in index.items():
+        if not idxs:
+            continue
+        for sub in ("stress_fields", "nmse", "divergence_fields"):
+            assert list((figs / kind / sub).glob("*.pdf")), (kind, sub)
+        assert len(list((figs / kind / "distributions").glob("*.pdf"))) == 6
