@@ -46,12 +46,26 @@ class Trainer:
     optimize_divergence: bool = True
     monitor_divergence_in_test: bool = False
     mesh: Any | None = None  # jax.sharding.Mesh → DP over its 'data' axis
+    # Opt-in fault tolerance (an extension over the reference, which has
+    # none — SURVEY §5 "failure detection"): wrap the optimizer in
+    # optax.apply_if_finite so a step whose gradients contain inf/NaN is
+    # SKIPPED (params/opt-state unchanged) instead of poisoning the run —
+    # observed once on the no-div hyperelastic config, where a single
+    # spiking step NaN'd an otherwise-converged run at epoch 71. Off by
+    # default (exact reference semantics). NOTE: changes the opt-state
+    # pytree structure, so checkpoints are not interchangeable across the
+    # two settings.
+    skip_nonfinite_updates: bool = False
 
     def __post_init__(self):
         # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8
         # (`gnn_train.py:118`); optax.adam matches bias correction + eps
         # placement (outside the sqrt).
         self.optimizer = optax.adam(self.learning_rate)
+        if self.skip_nonfinite_updates:
+            self.optimizer = optax.apply_if_finite(
+                self.optimizer, max_consecutive_errors=100
+            )
         if self.mesh is None:
             self._train_step = jax.jit(
                 self._train_step_impl, donate_argnums=(0, 1)

@@ -69,6 +69,7 @@ def run_experience(
     data_parallel: bool = False,
     resume: bool = False,
     cache_train_batches: bool = False,
+    skip_nonfinite_updates: bool = False,
     **_ignored: Any,
 ) -> tuple[list[float], list[float]]:
     random.seed(SEED)
@@ -149,6 +150,7 @@ def run_experience(
         optimize_divergence=divergence,
         monitor_divergence_in_test=monitor_divergence_in_test,
         mesh=mesh,
+        skip_nonfinite_updates=skip_nonfinite_updates,
     )
     first_batch = next(iter(test_loader))
     params, opt_state = trainer.init(rng, first_batch)

@@ -155,3 +155,46 @@ def test_cache_groups_loader(tmp_path):
     assert sorted(first) == sorted(second)  # same multiset of batches
     third = [np.asarray(b.pos).tobytes() for b in loader]
     assert len(third) == len(first)
+
+
+def test_skip_nonfinite_updates(tmp_path):
+    """Opt-in fault tolerance: a batch whose loss/grads go nonfinite must
+    not poison params — the update is skipped and training continues
+    (observed failure mode: one spiking step NaN'd a converged run)."""
+    df = _write_toy_dataset(tmp_path, n_samples=6)
+    ds = MeshStressFieldDataset(df, periodic_graph=True)
+    loader = GraphLoader(ds.samples, batch_size=3)
+
+    model = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    trainer = Trainer(
+        model=model,
+        stats=ds.stats,
+        learning_rate=1e-3,
+        divergence_penalty=0.0,
+        optimize_divergence=False,
+        skip_nonfinite_updates=True,
+    )
+    batches = list(loader)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), batches[0])
+
+    poisoned = batches[0].replace(
+        local_stress=np.full_like(
+            np.asarray(batches[0].local_stress), np.nan
+        )
+    )
+    params, opt_state, aux = trainer._train_step(params, opt_state, poisoned)
+    assert not np.isfinite(float(aux["total"]))  # the loss itself is NaN
+    # ... but the parameters were NOT updated with NaNs
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)
+    )
+    # and a following healthy step still learns
+    p_before = jax.tree.leaves(params)[0].copy()
+    params, opt_state, aux = trainer._train_step(params, opt_state, batches[1])
+    assert np.isfinite(float(aux["total"]))
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)
+    )
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(params)[0]), np.asarray(p_before)
+    )
