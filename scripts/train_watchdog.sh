@@ -51,7 +51,11 @@ EOF
     fi
   done
   wait "$PID" 2>/dev/null
-  if grep -q "Epoch: $TARGET / $TARGET" "$LOG"; then
+  # only look at output from the LAST launch: a stale "Epoch: N / N" from
+  # an earlier (e.g. diverged-and-wiped) run in the same log must not end
+  # the loop early
+  if awk '/WATCHDOG: launching/{buf=""} {buf=buf $0 "\n"} END{printf "%s", buf}' "$LOG" \
+      | grep -q "Epoch: $TARGET / $TARGET"; then
     echo "WATCHDOG: target epoch $TARGET reached, done $(date -u +%H:%M:%S)" >> "$LOG"
     break
   fi
