@@ -426,7 +426,12 @@ def moments_from_partials(
         )
     count = jnp.maximum(count, 1.0)
     mean = total / count
-    var = jnp.maximum(total_sq / count - mean * mean, 0.0)
+    # One-pass variance E[z²] − mean² can CANCEL to ≤0 in fp32 even for
+    # non-constant z (the two-pass torch form cannot), and d(sqrt)/dvar is
+    # infinite at 0 — i.e. a finite forward with nonfinite gradients. The
+    # 1e-12 floor is far below any healthy variance (bitwise no-op there)
+    # and bounds the backward at the cancellation edge.
+    var = jnp.maximum(total_sq / count - mean * mean, 1e-12)
     return mean, jnp.sqrt(var)
 
 
