@@ -102,6 +102,49 @@ def make_train_step(scatter_impl: str, batch, stream_dtype: str = "float32"):
     return step, params, opt_state
 
 
+SCAN_STEPS = 10
+
+
+def make_scanned_train_step(scatter_impl: str, batch,
+                            stream_dtype: str = "float32"):
+    """K train steps under ONE jit dispatch (lax.scan over the step body).
+
+    The remote-TPU tunnel charges a large per-dispatch/sync latency that a
+    per-step Python loop pays on every step but pipelined training mostly
+    hides (docs/evidence/ROOFLINE.md "Step decomposition"); scanning K
+    steps device-side measures actual device throughput. Same weights,
+    same optimizer, same batch — the quantity reported (edges/s through
+    the full fwd+bwd+Adam step) is unchanged, only the transport overhead
+    is out of the way."""
+    import jax
+
+    from p_div_gnn_tpu.graphs.container import NormStats
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from p_div_gnn_tpu.train.loop import Trainer
+
+    model = EncodeProcessDecode(
+        latent_size=128, message_passing_steps=10,
+        scatter_impl=scatter_impl, stream_dtype=stream_dtype,
+    )
+    trainer = Trainer(
+        model=model, stats=NormStats.ones(), learning_rate=1e-3,
+        divergence_penalty=10.0, optimize_divergence=True,
+    )
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
+
+    def body(carry, _):
+        p, o = carry
+        p, o, aux = trainer._train_step_impl(p, o, batch)
+        return (p, o), aux["total"]
+
+    scanned = jax.jit(
+        lambda p, o: jax.lax.scan(body, (p, o), None, length=SCAN_STEPS)
+    )
+    _, totals = scanned(params, opt_state)  # compile
+    jax.block_until_ready(totals)
+    return scanned, params, opt_state
+
+
 def main() -> None:
     import jax
 
@@ -123,18 +166,16 @@ def main() -> None:
     cases = {}
     for impl in impls:
         try:
-            cases[impl] = make_train_step(impl, batches[impl])
+            cases[impl] = make_scanned_train_step(impl, batches[impl])
         except Exception as exc:  # pragma: no cover
             log(f"{impl} path failed ({type(exc).__name__}: {exc})")
     best_t = {impl: float("inf") for impl in cases}
-    block_steps = 5
     for r in range(6):
-        for impl, (step, params, opt_state) in cases.items():
+        for impl, (scanned, params, opt_state) in cases.items():
             t0 = time.perf_counter()
-            for _ in range(block_steps):
-                _, _, aux = step(params, opt_state, batches[impl])
-            jax.block_until_ready(aux["total"])
-            t = (time.perf_counter() - t0) / block_steps
+            _, totals = scanned(params, opt_state)
+            jax.block_until_ready(totals)
+            t = (time.perf_counter() - t0) / SCAN_STEPS
             best_t[impl] = min(best_t[impl], t)
             log(f"r{r} {impl}: {t*1e3:.2f} ms")
     for impl, t in best_t.items():
