@@ -22,22 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     impl = sys.argv[1] if len(sys.argv) > 1 else "fused"
     stream_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    from bench import build_workload, make_train_step
+    from bench import SCAN_STEPS, build_workload, make_scanned_train_step
 
     from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
 
     batch, n_edges, n_nodes = build_workload(pair_blocks=impl == "fused2")
-    # same construction as the headline benchmark (single source of truth)
-    step, params, opt_state = make_train_step(
+    # same scan-driver construction as the headline benchmark (single
+    # source of truth; device throughput, not tunnel-transport time)
+    scanned, params, opt_state = make_scanned_train_step(
         impl, batch, stream_dtype=stream_dtype
     )
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(5):
-            _, _, aux = step(params, opt_state, batch)
-        jax.block_until_ready(aux["total"])
-        best = min(best, (time.perf_counter() - t0) / 5)
+        _, totals = scanned(params, opt_state)
+        jax.block_until_ready(totals)
+        best = min(best, (time.perf_counter() - t0) / SCAN_STEPS)
     print(json.dumps({
         "impl": impl, "edge_block": EDGE_BLOCK,
         "stream_dtype": stream_dtype,
