@@ -55,6 +55,11 @@ def generate_main(argv: list[str] | None = None) -> None:
         "--hyperelastic", action="store_true",
         help="Neo-Hookean finite-strain dataset (reference C17)",
     )
+    p.add_argument(
+        "--bc", choices=("dirichlet", "neumann"), default="dirichlet",
+        help="elastic BC mode: strain-controlled (reference main) or "
+             "stress-controlled (compute_mechanical_fields_neumann)",
+    )
     args = p.parse_args(argv)
     t0 = time.perf_counter()
     from p_div_gnn_tpu.datagen.generate import main
@@ -66,6 +71,7 @@ def generate_main(argv: list[str] | None = None) -> None:
         dataset_path=args.dataset_path,
         max_workers=args.max_workers,
         hyperelastic=args.hyperelastic,
+        bc=args.bc,
     )
     print(f"Data generated in {time.perf_counter() - t0:9.4f} seconds")
 

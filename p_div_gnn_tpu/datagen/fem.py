@@ -154,30 +154,26 @@ def gausspoint_to_node_matrix(
     return inv @ M
 
 
-def solve_periodic_rve(
-    points2d: np.ndarray,
-    tris: np.ndarray,
-    eps_xx: float,
-    eps_yy: float,
-    gamma_xy: float,
-    young_modulus: float = 1e5,
-    poisson_ratio: float = 0.3,
-) -> FEMResult:
-    """Dirichlet-controlled macroscopic strain with periodic fluctuations
-    (`compute_mechanical_fields_dirichlet`, generate_dataset.py:195-303)."""
+@dataclasses.dataclass
+class _Reduction:
+    """Periodic master/slave dof reduction shared by both BC modes."""
+
+    master_of: np.ndarray  # (N,) node → master node
+    red_of: np.ndarray  # (N,) master node → reduced index (−1 for slaves)
+    nr: int  # number of reduced nodes
+    P: sp.csr_matrix  # (2N, 2nr) dof → reduced-dof incidence
+    slave_shift: np.ndarray  # (N, 2) x_slave − x_master (0 for masters)
+    center_red: int  # reduced index of the pinned center node
+
+
+def _build_reduction(points2d: np.ndarray) -> _Reduction:
     n = len(points2d)
-    D = plane_stress_D(young_modulus, poisson_ratio)
-    K = assemble_stiffness(points2d, tris, D)
-
-    G = np.array([[eps_xx, 0.0], [gamma_xy, eps_yy]])  # du_i/dx_j
     pairs = periodic_node_pairs(points2d)
-
-    # Reduction u = P u_red + c: slave dof = master dof + (G·shift)_comp.
     master_of = np.arange(n)
     master_of[pairs.slaves] = pairs.masters
     # chains are length 1 (corners map directly to LL), no transitivity needed
-    const = np.zeros((n, 2))
-    const[pairs.slaves] = pairs.shifts @ G.T
+    slave_shift = np.zeros((n, 2))
+    slave_shift[pairs.slaves] = pairs.shifts
 
     keep = np.ones(n, dtype=bool)
     keep[pairs.slaves] = False
@@ -188,35 +184,27 @@ def solve_periodic_rve(
     # center node pinned (rigid translation), `generate_dataset.py:233`
     bbox_center = (points2d.min(0) + points2d.max(0)) / 2.0
     center_node = int(np.argmin(np.linalg.norm(points2d - bbox_center, axis=1)))
-    center_red = red_of[master_of[center_node]]
+    center_red = int(red_of[master_of[center_node]])
     assert center_red >= 0
 
-    rows, cols, vals = [], [], []
-    c_full = np.zeros(2 * n)
-    for comp in range(2):
-        for node in range(n):
-            dof = comp * n + node
-            m = master_of[node]
-            rows.append(dof)
-            cols.append(comp * nr + red_of[m])
-            vals.append(1.0)
-            c_full[dof] = const[node, comp]
+    node_ids = np.arange(n)
+    rows = np.concatenate([node_ids, node_ids + n])
+    cols = np.concatenate(
+        [red_of[master_of], red_of[master_of] + nr]
+    )
+    vals = np.ones(2 * n)
     P = sp.coo_matrix((vals, (rows, cols)), shape=(2 * n, 2 * nr)).tocsr()
+    return _Reduction(
+        master_of=master_of, red_of=red_of, nr=nr, P=P,
+        slave_shift=slave_shift, center_red=center_red,
+    )
 
-    K_red = (P.T @ K @ P).tocsr()
-    rhs = -P.T @ (K @ c_full)
 
-    # pin the center node's two reduced dofs
-    pinned = np.array([center_red, nr + center_red])
-    free = np.setdiff1d(np.arange(2 * nr), pinned)
-    K_ff = K_red[free][:, free]
-    u_red = np.zeros(2 * nr)
-    u_red[free] = spla.spsolve(K_ff.tocsc(), rhs[free])
-
-    u_full = P @ u_red + c_full
-    u = np.stack([u_full[:n], u_full[n:]], axis=1)
-
-    # element strains/stresses
+def _fields_from_displacement(
+    points2d: np.ndarray, tris: np.ndarray, u: np.ndarray, D: np.ndarray
+) -> FEMResult:
+    """Element strain/stress + node projection + volume-mean stresses."""
+    n = len(points2d)
     grads, areas = triangle_geometry(points2d, tris)
     ue = u[tris]  # (F, 3, 2)
     dudx = np.einsum("fid,fig->fdg", ue, grads)  # (F, 2, 2) du_d/dx_g
@@ -248,4 +236,107 @@ def solve_periodic_rve(
         stress_elems=stress_e,
         mean_stress=np.asarray(mean_stress),
         mean_stress_material=np.asarray(mean_stress_mat),
+    )
+
+
+def solve_periodic_rve(
+    points2d: np.ndarray,
+    tris: np.ndarray,
+    eps_xx: float,
+    eps_yy: float,
+    gamma_xy: float,
+    young_modulus: float = 1e5,
+    poisson_ratio: float = 0.3,
+) -> FEMResult:
+    """Dirichlet-controlled macroscopic strain with periodic fluctuations
+    (`compute_mechanical_fields_dirichlet`, generate_dataset.py:195-303)."""
+    n = len(points2d)
+    D = plane_stress_D(young_modulus, poisson_ratio)
+    K = assemble_stiffness(points2d, tris, D)
+
+    G = np.array([[eps_xx, 0.0], [gamma_xy, eps_yy]])  # du_i/dx_j
+    red = _build_reduction(points2d)
+    nr, P = red.nr, red.P
+
+    # Reduction u = P u_red + c: slave dof = master dof + (G·shift)_comp.
+    const = red.slave_shift @ G.T  # (N, 2), zero rows for masters
+    c_full = np.concatenate([const[:, 0], const[:, 1]])
+
+    K_red = (P.T @ K @ P).tocsr()
+    rhs = -P.T @ (K @ c_full)
+
+    # pin the center node's two reduced dofs
+    pinned = np.array([red.center_red, nr + red.center_red])
+    free = np.setdiff1d(np.arange(2 * nr), pinned)
+    K_ff = K_red[free][:, free]
+    u_red = np.zeros(2 * nr)
+    u_red[free] = spla.spsolve(K_ff.tocsc(), rhs[free])
+
+    u_full = P @ u_red + c_full
+    u = np.stack([u_full[:n], u_full[n:]], axis=1)
+    return _fields_from_displacement(points2d, tris, u, D)
+
+
+def solve_periodic_rve_neumann(
+    points2d: np.ndarray,
+    tris: np.ndarray,
+    sigma_xx: float,
+    sigma_yy: float,
+    sigma_xy: float,
+    young_modulus: float = 1e5,
+    poisson_ratio: float = 0.3,
+) -> FEMResult:
+    """Stress-controlled (Neumann) periodic RVE
+    (`compute_mechanical_fields_neumann`, generate_dataset.py:306-410).
+
+    The macroscopic strain components E = (Exx, Eyy, Gxy) are retained as
+    UNKNOWN generalized dofs coupled through the periodic constraints
+    (u(slave) − u(master) = [Exx·dx, Gxy·dx + Eyy·dy]) and driven by the
+    work-conjugate generalized forces σ·V_box on the three virtual strain
+    dofs — exactly the reference's Neumann BCs on fedoo's virtual strain
+    nodes (`generate_dataset.py:349-374`). By homogenization duality the
+    resulting bounding-box mean stress equals the imposed σ (asserted in
+    tests/test_fem.py). Like the reference, ``mean_stress`` in the result
+    is the imposed σ; ``mean_stress_material`` is integrated from the
+    solution (`generate_dataset.py:396-410`)."""
+    n = len(points2d)
+    D = plane_stress_D(young_modulus, poisson_ratio)
+    K = assemble_stiffness(points2d, tris, D)
+
+    red = _build_reduction(points2d)
+    nr, P = red.nr, red.P
+
+    # Strain-dof incidence C (2N, 3): slave dof constants per unit E.
+    dx = red.slave_shift[:, 0]
+    dy = red.slave_shift[:, 1]
+    node_ids = np.arange(n)
+    rows = np.concatenate([node_ids, node_ids + n, node_ids + n])
+    cols = np.concatenate(
+        [np.zeros(n, np.int64), np.ones(n, np.int64),
+         np.full(n, 2, np.int64)]
+    )
+    vals = np.concatenate([dx, dy, dx])
+    C = sp.coo_matrix((vals, (rows, cols)), shape=(2 * n, 3)).tocsr()
+
+    A = sp.hstack([P, C]).tocsr()  # u = A z, z = [u_red; E]
+    K_aug = (A.T @ K @ A).tocsr()
+
+    box = points2d.max(0) - points2d.min(0)
+    v_box = float(box[0] * box[1])
+    rhs = np.zeros(2 * nr + 3)
+    rhs[2 * nr + 0] = sigma_xx * v_box
+    rhs[2 * nr + 1] = sigma_yy * v_box
+    rhs[2 * nr + 2] = sigma_xy * v_box
+
+    pinned = np.array([red.center_red, nr + red.center_red])
+    free = np.setdiff1d(np.arange(2 * nr + 3), pinned)
+    K_ff = K_aug[free][:, free]
+    z = np.zeros(2 * nr + 3)
+    z[free] = spla.spsolve(K_ff.tocsc(), rhs[free])
+
+    u_full = A @ z
+    u = np.stack([u_full[:n], u_full[n:]], axis=1)
+    res = _fields_from_displacement(points2d, tris, u, D)
+    return dataclasses.replace(
+        res, mean_stress=np.array([sigma_xx, sigma_yy, sigma_xy])
     )

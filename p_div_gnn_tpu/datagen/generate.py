@@ -131,6 +131,7 @@ def generate_one_sample(args) -> pd.DataFrame | None:
         fields_folder,
         seed,
         hyperelastic,
+        bc,
     ) = args
     (sx, sy, sxy, cx, cy, radius, glob, holef) = row
     mesh = hole_plate_mesh(
@@ -159,7 +160,21 @@ def generate_one_sample(args) -> pd.DataFrame | None:
         # divergence operator on the DEFORMED mesh, post-solve
         # (`generate_dataset_hyperelast.py:352`)
         op_div = compute_op_div_matrix(pts + res.displacement, mesh.faces)
+    elif bc == "neumann":
+        # stress-controlled variant (`compute_mechanical_fields_neumann`,
+        # generate_dataset.py:306-410). The sampled strain triple is mapped
+        # to an imposed mean stress through the homogeneous plane-stress law
+        # σ = D·ε so both modes share the reference's strain ranges.
+        from p_div_gnn_tpu.datagen.fem import (
+            plane_stress_D,
+            solve_periodic_rve_neumann,
+        )
+
+        sig = plane_stress_D(1e5, 0.3) @ np.array([sx, sy, sxy])
+        res = solve_periodic_rve_neumann(pts, mesh.faces, *sig)
+        op_div = compute_op_div_matrix(pts, mesh.faces)
     else:
+        assert bc == "dirichlet", f"unknown bc {bc!r}"
         from p_div_gnn_tpu.datagen.fem import solve_periodic_rve
 
         res = solve_periodic_rve(pts, mesh.faces, sx, sy, sxy)
@@ -216,6 +231,7 @@ def generate_and_save_samples(
     seed: int,
     max_workers: int,
     hyperelastic: bool,
+    bc: str = "dirichlet",
 ) -> pd.DataFrame:
     meshes_folder = dataset_folder / "meshes"
     fields_folder = dataset_folder / "fields"
@@ -223,7 +239,7 @@ def generate_and_save_samples(
     fields_folder.mkdir(parents=True, exist_ok=False)
     tasks = [
         (row, i, plate_width_height, meshes_folder, fields_folder, seed,
-         hyperelastic)
+         hyperelastic, bc)
         for i, row in enumerate(data)
     ]
     if max_workers and max_workers > 1:
@@ -242,8 +258,13 @@ def main(
     dataset_path: str = "",
     max_workers: int | None = None,
     hyperelastic: bool = False,
+    bc: str = "dirichlet",
 ) -> None:
     assert dataset_path, "Must specify dataset path"
+    assert not (hyperelastic and bc != "dirichlet"), (
+        "bc='neumann' is a linear-elastic capability (the reference defines "
+        "it only in generate_dataset.py, not the hyperelastic generator)"
+    )
     if max_workers is None:
         max_workers = multiprocessing.cpu_count()
     plate_wh = 100.0
@@ -259,6 +280,6 @@ def main(
         folder = Path(dataset_path) / kind
         folder.mkdir(parents=True, exist_ok=False)
         df = generate_and_save_samples(
-            part, plate_wh, folder, seed, max_workers, hyperelastic
+            part, plate_wh, folder, seed, max_workers, hyperelastic, bc=bc
         )
         df.to_csv((folder / "dataset.csv").as_posix(), index=False)

@@ -2,11 +2,11 @@
 exactness, and hole-plate physics sanity (numpy/scipy only — no JAX)."""
 
 import numpy as np
-import pytest
 
 from p_div_gnn_tpu.datagen.fem import (
     plane_stress_D,
     solve_periodic_rve,
+    solve_periodic_rve_neumann,
 )
 from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh, is_periodic_mesh
 from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix
@@ -67,6 +67,45 @@ def test_mean_stress_relations():
     np.testing.assert_allclose(ratio[0], frac, rtol=2e-2)
     # von-Mises-ish concentration: max nodal stress well above the mean
     assert res.stress_nodes[:, 0].max() > 1.5 * res.mean_stress_material[0]
+
+
+def test_neumann_stress_control():
+    """Stress-controlled RVE (C16 Neumann variant,
+    `generate_dataset.py:306-410`): the bounding-box mean of the computed
+    stress field must reproduce the imposed traction, and on a homogeneous
+    plate the solution must match the Dirichlet solve at the dual strain."""
+    sig = (120.0, -60.0, 35.0)
+    # homogeneous plate: Neumann(σ) ≡ Dirichlet(ε = D⁻¹σ) exactly
+    mesh = grid_mesh(6, 6, width=10.0)
+    pts = mesh.points[:, :2]
+    res = solve_periodic_rve_neumann(pts, mesh.faces, *sig)
+    np.testing.assert_allclose(res.mean_stress, np.array(sig))
+    np.testing.assert_allclose(
+        res.stress_nodes, np.tile(sig, (len(pts), 1)), rtol=1e-8, atol=1e-6
+    )
+    eps = np.linalg.solve(plane_stress_D(1e5, 0.3), np.array(sig))
+    res_d = solve_periodic_rve(pts, mesh.faces, *eps)
+    np.testing.assert_allclose(
+        res.displacement, res_d.displacement, rtol=1e-8, atol=1e-12
+    )
+
+    # hole plate: box-mean of the SOLVED field must equal the imposed σ
+    # (discrete Hill-Mandel duality — exact at element quadrature)
+    mesh = hole_plate_mesh(100, 100, 20, (50, 50), 5, 10, seed=4)
+    pts = mesh.points[:, :2]
+    res = solve_periodic_rve_neumann(pts, mesh.faces, *sig)
+    from p_div_gnn_tpu.datagen.fem import triangle_geometry
+
+    box = pts.max(0) - pts.min(0)
+    v_box = box[0] * box[1]
+    _, areas = triangle_geometry(pts, mesh.faces)
+    box_mean = np.einsum("f,fc->c", areas, res.stress_elems) / v_box
+    np.testing.assert_allclose(box_mean, np.array(sig), rtol=1e-8)
+    # material mean exceeds box mean by the material fraction
+    frac = 1 - np.pi * 20**2 / 1e4
+    np.testing.assert_allclose(
+        box_mean / res.mean_stress_material, frac, rtol=2e-2
+    )
 
 
 def test_op_div_exact_for_linear_field():
