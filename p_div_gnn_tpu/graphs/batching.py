@@ -289,6 +289,85 @@ def pad_sender_view(
     )
 
 
+def _ell_from_coo(
+    key: np.ndarray,
+    payloads: tuple[np.ndarray, ...],
+    num_rows: int,
+    pads: tuple,
+    w_bucket: int = 4,
+    min_w: int | None = None,
+) -> tuple[np.ndarray, ...]:
+    """Pack COO entries into a padded ELL table: row r's entries occupy
+    ``out[r, :counts[r]]``; W = max fan-in rounded up to ``w_bucket`` (one
+    XLA program per W bucket). Vectorized — no per-row Python loop."""
+    K = len(key)
+    order = np.argsort(key, kind="stable")
+    k_sorted = key[order].astype(np.int64)
+    counts = np.bincount(k_sorted, minlength=num_rows)
+    W = int(max(counts.max() if K else 0, 1))
+    W = _round_up(W, w_bucket)
+    if min_w is not None:
+        W = max(W, min_w)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos = np.arange(K, dtype=np.int64) - starts[k_sorted]
+    flat = k_sorted * W + pos
+    outs = []
+    for payload, pad in zip(payloads, pads):
+        o = np.full(num_rows * W, pad, dtype=payload.dtype)
+        o[flat] = payload[order]
+        outs.append(o.reshape(num_rows, W))
+    return tuple(outs)
+
+
+def build_div_ell(
+    div_data: np.ndarray,
+    div_row: np.ndarray,
+    div_col_node: np.ndarray,
+    div_col_is_y: np.ndarray,
+    num_nodes: int,
+    w_bucket: int = 4,
+    pad_w: int | None = None,
+    pad_wt: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Gather-only (ELL) views of the divergence operator — the TPU answer
+    to the COO scatter (round-3 perf work: the unsorted COO segment-sum and
+    its scatter-add VJP cost ~54 ms of the 281 ms train step,
+    docs/evidence/microbench.json).
+
+    Row view (forward): per padded node r, W slots of (source node, value,
+    is_y); ``div[r] = Σ_w val·select(S[src])``. Transpose view (backward):
+    per source node s, Wt slots of (row node, value, is_y);
+    ``dS[s] = Σ_w val·select(ct[row])``. Both directions are dense gathers
+    + lane reductions — no scatter anywhere. Padding slots point at node
+    num_nodes−1 with value 0 (exact no-ops)."""
+    src, val, isy = _ell_from_coo(
+        div_row.astype(np.int64),
+        (div_col_node.astype(np.int32), div_data.astype(np.float32),
+         div_col_is_y.astype(np.int8)),
+        num_nodes,
+        pads=(np.int32(num_nodes - 1), np.float32(0), np.int8(0)),
+        w_bucket=w_bucket,
+        min_w=pad_w,
+    )
+    trow, tval, tisy = _ell_from_coo(
+        div_col_node.astype(np.int64),
+        (div_row.astype(np.int32), div_data.astype(np.float32),
+         div_col_is_y.astype(np.int8)),
+        num_nodes,
+        pads=(np.int32(num_nodes - 1), np.float32(0), np.int8(0)),
+        w_bucket=w_bucket,
+        min_w=pad_wt,
+    )
+    if pad_w is not None:
+        assert src.shape[1] == pad_w, (src.shape, pad_w)
+    if pad_wt is not None:
+        assert trow.shape[1] == pad_wt, (trow.shape, pad_wt)
+    return {
+        "div_src": src, "div_val": val, "div_isy": isy,
+        "divT_row": trow, "divT_val": tval, "divT_isy": tisy,
+    }
+
+
 def _bucket(x: int, m: int, buckets: tuple[int, ...] | None) -> int:
     x = _round_up(x, m)
     if buckets:
@@ -309,6 +388,9 @@ def pack_batch(
     edge_buckets: tuple[int, ...] | None = None,
     pair_blocks: bool = False,
     sender_view: bool = True,
+    div_ell: bool = True,
+    pad_div_w: int | None = None,
+    pad_div_wt: int | None = None,
 ) -> GraphBatch:
     """Concatenate samples into one padded batch (host-side, numpy).
 
@@ -436,7 +518,17 @@ def pack_batch(
         )
     else:
         snd_perm = snd_sorted = snd_block_tile = None
+    # gather-only divergence views, built from the REAL entries only
+    # ([0, k_off) — padding entries would inflate node Np−1's fan-in)
+    ell = {}
+    if div_ell:
+        ell = build_div_ell(
+            div_data[:k_off], div_row[:k_off], div_col_node[:k_off],
+            div_col_is_y[:k_off], num_nodes=Np,
+            pad_w=pad_div_w, pad_wt=pad_div_wt,
+        )
     return GraphBatch(
+        **ell,
         pos=pos,
         mean_stress=mean_stress,
         node_type=node_type,

@@ -66,6 +66,20 @@ class GraphBatch(flax.struct.PyTreeNode):
     snd_sorted: Array | None = None  # (Ep2,) i32 sender node per slot
     snd_block_tile: Array | None = None  # (Ep2/EDGE_BLOCK,) i32
 
+    # --- optional gather-only (ELL) divergence views
+    # (batching.build_div_ell): fixed fan-in tables that make the
+    # divergence operator AND its transpose pure gathers + lane reductions
+    # — no scatter in either direction (the COO path's unsorted scatters
+    # cost ~54 ms/step; docs/evidence/microbench.json). None when a
+    # producer opts out (e.g. edge-partitioned shards use the COO path
+    # with halo-extended addressing).
+    div_src: Array | None = None  # (Np, W) i32 source node (pad → Np−1)
+    div_val: Array | None = None  # (Np, W) f32 (pad → 0)
+    div_isy: Array | None = None  # (Np, W) i8  0 → x-dof, 1 → y-dof
+    divT_row: Array | None = None  # (Np, Wt) i32 row node (pad → Np−1)
+    divT_val: Array | None = None  # (Np, Wt) f32
+    divT_isy: Array | None = None  # (Np, Wt) i8
+
     # --- optional pair-blocked layout marker (batching.blockify_edges_pair,
     # scatter_impl="fused2"): sender tile per edge block. When set, the
     # edge arrays are (rcv_tile, snd_tile)-grouped — receivers are NOT
@@ -136,6 +150,9 @@ def batch_shape_key(batch: GraphBatch) -> tuple[int, int, int, int]:
         batch.num_edges_padded,
         int(batch.div_data.shape[0]),
         batch.n_graphs,
+        # ELL fan-in widths (None-safe): distinct W/Wt recompile
+        int(batch.div_src.shape[1]) if batch.div_src is not None else 0,
+        int(batch.divT_row.shape[1]) if batch.divT_row is not None else 0,
     )
 
 

@@ -17,6 +17,50 @@ from p_div_gnn_tpu.graphs.container import GraphBatch
 from p_div_gnn_tpu.ops.segment import segment_sum
 
 
+@jax.custom_vjp
+def _div_ell_apply(stress, div_src, div_val, div_isy, divT_row, divT_val,
+                   divT_isy):
+    """Gather-only divergence operator: (Np, 3) stress → (Np, 2) div.
+
+    Forward contracts the row-ELL view (fixed fan-in W per node); the VJP
+    contracts the TRANSPOSE ELL view — both pure gathers + lane reductions,
+    so neither direction ever runs a scatter (the COO path's unsorted
+    scatter + scatter-VJP dominated the train step at ~54 ms;
+    docs/evidence/microbench.json)."""
+    g = jnp.take(stress, div_src, axis=0)  # (Np, W, 3)
+    isy = div_isy.astype(stress.dtype)
+    v0 = g[..., 0] * (1 - isy) + g[..., 2] * isy
+    v1 = g[..., 2] * (1 - isy) + g[..., 1] * isy
+    d0 = jnp.sum(div_val * v0, axis=1)
+    d1 = jnp.sum(div_val * v1, axis=1)
+    return jnp.stack([d0, d1], axis=-1)
+
+
+def _div_ell_fwd(stress, div_src, div_val, div_isy, divT_row, divT_val,
+                 divT_isy):
+    out = _div_ell_apply(stress, div_src, div_val, div_isy, divT_row,
+                         divT_val, divT_isy)
+    return out, (divT_row, divT_val, divT_isy)
+
+
+def _div_ell_bwd(res, ct):
+    divT_row, divT_val, divT_isy = res
+    h = jnp.take(ct, divT_row, axis=0)  # (Np, Wt, 2)
+    isy = divT_isy.astype(ct.dtype)
+    w0 = divT_val * h[..., 0]
+    w1 = divT_val * h[..., 1]
+    # entry (r, s, isy): isy=0 → dS[s,0] += val·ct[r,0], dS[s,2] += val·ct[r,1]
+    #                    isy=1 → dS[s,2] += val·ct[r,0], dS[s,1] += val·ct[r,1]
+    ds0 = jnp.sum(w0 * (1 - isy), axis=1)
+    ds1 = jnp.sum(w1 * isy, axis=1)
+    ds2 = jnp.sum(w0 * isy + w1 * (1 - isy), axis=1)
+    dstress = jnp.stack([ds0, ds1, ds2], axis=-1)
+    return (dstress, None, None, None, None, None, None)
+
+
+_div_ell_apply.defvjp(_div_ell_fwd, _div_ell_bwd)
+
+
 def per_graph_nmse(
     batch: GraphBatch, prediction: jax.Array, ground_truth: jax.Array
 ) -> jax.Array:
@@ -57,12 +101,21 @@ def divergence_field(
     (`compare_results.py:122-141`).
     """
     Np = stress.shape[0]
-    is_y = batch.div_col_is_y.astype(stress.dtype)
-    src = batch.div_col_node
-    v0 = jnp.where(is_y == 1, stress[src, 2], stress[src, 0])
-    v1 = jnp.where(is_y == 1, stress[src, 1], stress[src, 2])
-    contrib = batch.div_data[:, None] * jnp.stack([v0, v1], axis=-1)
-    div = segment_sum(contrib, batch.div_row, Np, indices_are_sorted=False)
+    if batch.div_src is not None:
+        div = _div_ell_apply(
+            stress, batch.div_src, batch.div_val, batch.div_isy,
+            batch.divT_row, batch.divT_val, batch.divT_isy,
+        )
+    else:
+        # COO fallback (edge-partitioned shards; pack_batch(div_ell=False))
+        is_y = batch.div_col_is_y.astype(stress.dtype)
+        src = batch.div_col_node
+        v0 = jnp.where(is_y == 1, stress[src, 2], stress[src, 0])
+        v1 = jnp.where(is_y == 1, stress[src, 1], stress[src, 2])
+        contrib = batch.div_data[:, None] * jnp.stack([v0, v1], axis=-1)
+        div = segment_sum(
+            contrib, batch.div_row, Np, indices_are_sorted=False
+        )
 
     node_type = batch.node_type[:, 0]
     if zero_internal_boundary:

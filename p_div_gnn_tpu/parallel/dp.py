@@ -96,6 +96,27 @@ def pack_sharded_batch(
         )
         for b in packed
     ]
+    # divergence-ELL fan-in widths must match across shards too (padding
+    # slots point at the shard's last padding node with value 0 — no-ops)
+    def pad_ell(arr, w, pad):
+        dw = w - arr.shape[1]
+        if dw == 0:
+            return arr
+        return np.pad(arr, ((0, 0), (0, dw)), constant_values=pad)
+
+    w = max(b.div_src.shape[1] for b in packed)
+    wt = max(b.divT_row.shape[1] for b in packed)
+    packed = [
+        b.replace(
+            div_src=pad_ell(b.div_src, w, b.num_nodes_padded - 1),
+            div_val=pad_ell(b.div_val, w, 0),
+            div_isy=pad_ell(b.div_isy, w, 0),
+            divT_row=pad_ell(b.divT_row, wt, b.num_nodes_padded - 1),
+            divT_val=pad_ell(b.divT_val, wt, 0),
+            divT_isy=pad_ell(b.divT_isy, wt, 0),
+        )
+        for b in packed
+    ]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *packed)
     return stacked
 

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from p_div_gnn_tpu.graphs import pack_batch
 from p_div_gnn_tpu.graphs.batching import GraphSample
@@ -131,6 +130,28 @@ def test_divergence_matches_dense_reference():
         expect_scalar = np.sum(np.mean(_dense_div(s) ** 2, axis=0))
         np.testing.assert_allclose(per_graph[g], expect_scalar, rtol=1e-4)
     assert per_graph[3] == 0
+
+
+def test_divergence_ell_matches_coo_with_grads():
+    """The gather-only ELL path (round-3: batching.build_div_ell +
+    losses._div_ell_apply) must match the COO segment-sum path exactly —
+    value AND gradient — including duplicate (row, col) entries."""
+    rng = np.random.default_rng(7)
+    samples = [_random_sample(rng) for _ in range(3)]
+    b_ell = pack_batch(samples, n_graphs=4, div_ell=True)
+    b_coo = pack_batch(samples, n_graphs=4, div_ell=False)
+    assert b_ell.div_src is not None and b_coo.div_src is None
+    stress = jnp.array(b_ell.local_stress) + 0.3
+
+    def loss(batch, s):
+        return jnp.sum(per_graph_divergence(batch, s))
+
+    v_ell, g_ell = jax.value_and_grad(loss, argnums=1)(b_ell, stress)
+    v_coo, g_coo = jax.value_and_grad(loss, argnums=1)(b_coo, stress)
+    np.testing.assert_allclose(float(v_ell), float(v_coo), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_ell), np.asarray(g_coo), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_nmse_matches_reference_formula():
