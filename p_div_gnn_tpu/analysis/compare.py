@@ -300,12 +300,11 @@ def render_cross_model_figures(
             )
             # standardized divergence-norm fields, like the reference's
             # `divergence_fields_standard` (`compare_results.py:1100-1140`).
-            # Each model's field (and the GT it is held against) is
-            # standardized with that model's OWN normalize_params —
-            # matching evaluate_model_folder — so two folders with
-            # different training datasets still render on the right
-            # scale; the shared FEM panel uses the proposed (headline)
-            # model's frame.
+            # ALL THREE panels (baseline, proposed, FEM) are standardized
+            # in ONE shared frame — the baseline folder's normalize_params,
+            # exactly like the reference — so the within-figure comparison
+            # is apples-to-apples. (Per-model frames are still used for the
+            # NMSE/distribution figures, matching evaluate_model_folder.)
             std_b = lambda s: standardize(
                 s, norm_b["mean_local_stress"], norm_b["std_local_stress"]
             )
@@ -315,8 +314,8 @@ def render_cross_model_figures(
             plot_two_model_divergence(
                 pts, faces,
                 divergence_norm_field(std_b(sb), D, labels),
-                divergence_norm_field(std_p(sp), D, labels),
-                divergence_norm_field(std_p(gt), D, labels),
+                divergence_norm_field(std_b(sp), D, labels),
+                divergence_norm_field(std_b(gt), D, labels),
                 baseline_name, proposed_name,
                 root / "divergence_fields" / f"{tag}.pdf",
             )

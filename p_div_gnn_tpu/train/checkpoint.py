@@ -60,8 +60,22 @@ def load_checkpoint(
     )
     opt_state = None
     if opt_state_template is not None:
-        opt_state = flax.serialization.from_state_dict(
-            opt_state_template, payload["optimizer_state_dict"]
-        )
+        try:
+            opt_state = flax.serialization.from_state_dict(
+                opt_state_template, payload["optimizer_state_dict"]
+            )
+        except (ValueError, KeyError) as exc:
+            # Toggling skip_nonfinite_updates wraps the opt state in
+            # ApplyIfFiniteState, so a checkpoint written under the other
+            # setting has a different pytree structure. Fall back to a
+            # params-only restore (fresh optimizer) instead of crash-looping
+            # an unattended watchdog-driven resume.
+            print(
+                "WARNING: checkpoint optimizer state does not match the "
+                f"current optimizer structure ({exc}); restoring params "
+                "only with a FRESH optimizer state (Adam moments reset — "
+                "expect a brief loss bump after resume)."
+            )
+            opt_state = None
     stats = NormStats.from_dict(payload["stats"])
     return params, opt_state, int(payload["epoch"]), stats

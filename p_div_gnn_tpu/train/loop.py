@@ -54,8 +54,15 @@ class Trainer:
     # spiking step NaN'd an otherwise-converged run at epoch 71. Off by
     # default (exact reference semantics). NOTE: changes the opt-state
     # pytree structure, so checkpoints are not interchangeable across the
-    # two settings.
+    # two settings (load_checkpoint falls back to a params-only restore on
+    # structure mismatch). GIVE-UP SEMANTICS: apply_if_finite stops
+    # skipping after ``max_consecutive_errors`` consecutive nonfinite
+    # steps and would apply the NaN update — fit() therefore aborts the
+    # run with a RuntimeError BEFORE that happens (a persistently diverged
+    # run must fail loudly, not train on NaNs); per-epoch skip counters go
+    # to the metrics writer ("Steps skipped (nonfinite)").
     skip_nonfinite_updates: bool = False
+    _max_consecutive_nonfinite: int = 100
 
     def __post_init__(self):
         # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8
@@ -64,7 +71,8 @@ class Trainer:
         self.optimizer = optax.adam(self.learning_rate)
         if self.skip_nonfinite_updates:
             self.optimizer = optax.apply_if_finite(
-                self.optimizer, max_consecutive_errors=100
+                self.optimizer,
+                max_consecutive_errors=self._max_consecutive_nonfinite,
             )
         if self.mesh is None:
             self._train_step = jax.jit(
@@ -235,6 +243,32 @@ class Trainer:
                 float(tr_nmse), float(tr_div), float(tr_total),
                 float(te_div), float(te_total),
             )
+            if self.skip_nonfinite_updates:
+                # ApplyIfFiniteState sits at the root of the wrapped
+                # opt_state; surface its skip counters so a diverged run is
+                # visible, and abort BEFORE apply_if_finite "gives up" and
+                # applies a nonfinite update (see class docstring).
+                nf_run = int(opt_state.notfinite_count)
+                nf_total = int(opt_state.total_notfinite)
+                if nf_total and verbose:
+                    print(
+                        f"  nonfinite updates skipped: {nf_total} total, "
+                        f"{nf_run} consecutive", flush=True,
+                    )
+                if writer is not None and nf_total:
+                    writer.add_scalar(
+                        "Steps skipped (nonfinite)", nf_total, epoch + 1
+                    )
+                if nf_run >= self._max_consecutive_nonfinite - 1:
+                    save_checkpoint(
+                        weights_folder / LAST_CHECKPOINT,
+                        params, opt_state, epoch + 1, self.stats,
+                    )
+                    raise RuntimeError(
+                        f"training diverged: {nf_run} consecutive nonfinite "
+                        "updates — aborting before apply_if_finite gives up "
+                        "and applies a NaN update"
+                    )
 
             train_loss = tr_total / max(n_tr, 1)
             test_loss = te_total / max(n_te, 1)

@@ -162,9 +162,13 @@ def run_experience(
 
         ckpt_path = results / "weights" / LAST_CHECKPOINT
         if ckpt_path.exists():
-            params, opt_state, start_epoch, restored_stats = load_checkpoint(
-                ckpt_path, params, opt_state
+            params, restored_opt, start_epoch, restored_stats = (
+                load_checkpoint(ckpt_path, params, opt_state)
             )
+            if restored_opt is not None:
+                opt_state = restored_opt
+            # else: structure mismatch (e.g. skip_nonfinite_updates toggled
+            # since the checkpoint was written) — keep the fresh opt_state
             trainer.stats = restored_stats
             print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 

@@ -16,6 +16,13 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _atomic_dump(obj, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1)
+    os.replace(tmp, path)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/evidence/kernel_sweep.json")
@@ -50,13 +57,14 @@ def main() -> None:
                 except json.JSONDecodeError:
                     print(f"FAILED impl={impl} eb={eb} sd={sd}: "
                           f"{r.stderr.strip().splitlines()[-3:]}", flush=True)
-                # persist incrementally so a crash keeps completed cells
-                with open(args.out, "w") as fh:
-                    json.dump(sorted(rows, key=lambda r: r["step_ms"]),
-                              fh, indent=1)
+                # persist incrementally so a crash keeps completed cells;
+                # write-temp + os.replace so a kill mid-dump can't leave a
+                # truncated results file (same atomic pattern as
+                # train/checkpoint.py)
+                _atomic_dump(sorted(rows, key=lambda r: r["step_ms"]),
+                             args.out)
     rows.sort(key=lambda r: r["step_ms"])
-    with open(args.out, "w") as fh:
-        json.dump(rows, fh, indent=1)
+    _atomic_dump(rows, args.out)
     if rows:
         b = rows[0]
         print(f"best: {b['impl']} EB={b['edge_block']} {b['stream_dtype']} "

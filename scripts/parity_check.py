@@ -149,7 +149,6 @@ def main() -> None:
 def _run_reference(args, sample):
     """Run the actual reference model (requires its package installed)."""
     import torch
-    from gnn_local_stress import datasets as ref_datasets
     from gnn_local_stress import models as ref_models
     import torch_geometric as PyG
 

@@ -25,7 +25,6 @@ def main() -> None:
         return main_partition()
     import optax
 
-    from p_div_gnn_tpu.graphs.container import NormStats
     from p_div_gnn_tpu.models import EncodeProcessDecode
     from p_div_gnn_tpu.parallel.dp import make_dp_train_step
 

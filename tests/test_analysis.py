@@ -5,7 +5,6 @@ import json
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from p_div_gnn_tpu.analysis.compare import (
     build_div_matrix,

@@ -4,7 +4,6 @@ train step must match the unsharded whole-batch step numerically
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 import pytest
 from jax.sharding import Mesh

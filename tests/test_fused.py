@@ -4,7 +4,6 @@ CPU): forward parity and gradient parity."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from p_div_gnn_tpu.graphs import pack_batch

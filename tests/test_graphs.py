@@ -7,7 +7,6 @@ import pytest
 
 from p_div_gnn_tpu.graphs import (
     NodeType,
-    SurfaceMesh,
     compute_node_labels,
     compute_periodic_graph,
     faces_to_edge_index,

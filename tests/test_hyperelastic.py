@@ -1,9 +1,7 @@
 """Hyperelastic (Neo-Hookean plane strain) solver verification (no JAX)."""
 
 import numpy as np
-import pytest
 
-from p_div_gnn_tpu.datagen.fem import plane_stress_D
 from p_div_gnn_tpu.datagen.hyperelastic import (
     C10,
     KAPPA,

@@ -4,7 +4,6 @@ golden-value tests for Processor/EncodeProcessDecode on handcrafted graphs)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from p_div_gnn_tpu.graphs import NormStats, compute_periodic_graph, mesh_to_graph, pack_batch
 from p_div_gnn_tpu.graphs.batching import GraphSample

@@ -2,7 +2,6 @@
 on blockified layouts, plus gradient (gather transpose)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from p_div_gnn_tpu.graphs.batching import blockify_edges

@@ -3,7 +3,6 @@ forward (validated against the independent numpy golden model, which
 implements the reference math directly)."""
 
 import numpy as np
-import jax
 import pytest
 
 from p_div_gnn_tpu.graphs import pack_batch
