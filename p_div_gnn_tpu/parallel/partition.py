@@ -22,11 +22,10 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
 from p_div_gnn_tpu.losses import partitioned_batch_loss
