@@ -227,19 +227,21 @@ class Processor(nn.Module):
                 else jnp.float32
             )
             if batch.snd_perm is not None and halo is None:
-                # sender gathers with an MXU-scatter VJP: XLA's generic
-                # scatter-add (the gather transpose) is the dominant
-                # backward cost otherwise (ops/gather.py)
-                from p_div_gnn_tpu.ops.gather import sender_gather
+                # BOTH sender gathers through one custom-vjp pair whose
+                # backward scatters the two cotangent streams in ONE
+                # kernel traversal (ops/gather.sender_gather_pair) — the
+                # per-block fixed cost dominates the scatter, so merging
+                # halves it vs two sender_gather calls.
+                from p_div_gnn_tpu.ops.gather import sender_gather_pair
 
-                gather = lambda p: sender_gather(
-                    p, snd, batch.snd_perm, batch.snd_sorted,
-                    batch.snd_block_tile, p.shape[0],
+                g_v, g_u = sender_gather_pair(
+                    proj_u, proj_v, snd, batch.snd_perm, batch.snd_sorted,
+                    batch.snd_block_tile, proj_u.shape[0],
                 )
             else:
-                gather = lambda p: p[snd]
-            s_msg = (gather(proj_v) + e_proj + edge_b0).astype(sd)
-            s_upd = (gather(proj_u) + e_proj + edge_b0).astype(sd)
+                g_v, g_u = proj_v[snd], proj_u[snd]
+            s_msg = (g_v + e_proj + edge_b0).astype(sd)
+            s_upd = (g_u + e_proj + edge_b0).astype(sd)
             z_upd, r_raw, m = fused_edge_step(
                 proj_u[:Np].astype(sd), proj_v[:Np].astype(sd),
                 s_msg, s_upd,

@@ -45,6 +45,74 @@ NODE_TILE = 128
 _PREC = jax.lax.Precision.HIGHEST
 
 
+# ---------------------------------------------------------------------------
+# In-kernel fp32 matmul strategy. Mosaic lowers Precision.HIGHEST on fp32
+# operands to SIX bf16 MXU passes (measured 0.27 ms per (2065-block ×
+# 128³) matmul = 197/6 TFLOP/s; Precision.HIGH is not supported at all —
+# docs/evidence/microbench.json). The one-hot contraction class admits an
+# exact cheaper formulation built from DEFAULT (single-pass) dots:
+#
+# - one-hot gather/scatter contractions: the 0/1 matrix is EXACT in bf16
+#   and each output element is a plain SELECTION/SUM of input values, so
+#   splitting the fp32 value operand into three bf16 terms
+#   (x = b1 + b2 + b3, ~24 mantissa bits) and summing three DEFAULT passes
+#   reproduces the fp32 gather/scatter to ~2^-24 — 3 passes instead of 6.
+# - general matmuls (h @ W2 etc.) STAY on HIGHEST: see _mm_f32 for why the
+#   3-pass bf16x3 shortcut is not accurate enough here.
+#
+# Numerical parity with the previous all-HIGHEST kernels is pinned by
+# tests/test_fused.py (fused-vs-XLA tolerances unchanged).
+# ---------------------------------------------------------------------------
+
+
+def _split2(x):
+    """fp32 → (hi, lo) bf16 with hi + lo capturing ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3(x):
+    """fp32 → 3 bf16 terms summing to x to ~2^-24 (full fp32 mantissa)."""
+    b1 = x.astype(jnp.bfloat16)
+    r1 = x - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b1, b2, b3
+
+
+def _dot_default(x, y, dims):
+    return jax.lax.dot_general(
+        x, y, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _mm_onehot(onehot_bf16, val_f32, dims):
+    """Exact one-hot contraction in 3 DEFAULT passes (see header)."""
+    b1, b2, b3 = _split3(val_f32)
+    return (
+        _dot_default(onehot_bf16, b1, dims)
+        + _dot_default(onehot_bf16, b2, dims)
+        + _dot_default(onehot_bf16, b3, dims)
+    )
+
+
+def _mm_f32(x_f32, y_f32, dims):
+    """General fp32 matmul. Manual bf16x3 (3 passes) was measured: its
+    2-way operand splits cap representation at ~2^-18, giving ~4e-5
+    activation error — 50× worse than fp32 and outside the fused-vs-XLA
+    test tolerances. True fp32 needs the 6-pass algorithm, which is
+    exactly what Mosaic's HIGHEST lowers to — so general matmuls stay on
+    HIGHEST and only the one-hot contractions use the exact 3-pass split
+    (_mm_onehot)."""
+    return jax.lax.dot_general(
+        x_f32, y_f32, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+
+
 def _maybe_interpret():
     """On a genuine CPU backend (no TPU), run the kernels in TPU-interpret
     mode so the fused path stays functional everywhere (tests/dev boxes);
@@ -76,8 +144,9 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     # dtype-generic: streams (a/s/w2/b2/z_upd) may be bf16 (speed mode,
     # halved HBM traffic) or fp32 (parity mode); all MXU contractions
     # accumulate fp32 and the R/M accumulators stay fp32 either way.
+    # fp32 mode uses the 3-pass split formulations (see module header)
+    # instead of Mosaic's 6-pass HIGHEST.
     dt = s_msg_ref.dtype
-    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -86,32 +155,32 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    onehot = (col_ids == rcv_local).astype(dt)  # 0/1: exact in bf16
     mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
 
-    def edge_mlp(a_ref, s_ref):
-        a_rows = jax.lax.dot_general(
-            onehot, a_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
+    if dt == jnp.float32:
+        onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
+        mm_gather = lambda a: _mm_onehot(onehot, a, ((1,), (0,)))
+        mm_scatter = lambda z: _mm_onehot(onehot, z, ((0,), (0,)))
+        mm_w = lambda h, w: _mm_f32(h, w, ((1,), (0,)))
+    else:
+        onehot = (col_ids == rcv_local).astype(dt)
+        mm_gather = lambda a: _dot_default(onehot, a, ((1,), (0,)))
+        mm_scatter = lambda z: _dot_default(
+            onehot, z.astype(dt), ((0,), (0,))
         )
+        mm_w = lambda h, w: _dot_default(h.astype(dt), w, ((1,), (0,)))
+
+    def edge_mlp(a_ref, s_ref):
+        a_rows = mm_gather(a_ref[:, :])
         h = jnp.maximum(a_rows + s_ref[:, :].astype(jnp.float32), 0.0)
-        y = jax.lax.dot_general(
-            h.astype(dt), w2_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) + b2_ref[0, :].astype(jnp.float32)
+        y = mm_w(h, w2_ref[:, :]) + b2_ref[0, :].astype(jnp.float32)
         return jnp.maximum(y, 0.0) * mask
 
     z_msg = edge_mlp(a_u_ref, s_msg_ref)
     z_upd = edge_mlp(a_v_ref, s_upd_ref)
     z_upd_ref[:, :] = z_upd.astype(dt)
 
-    r_contrib = jax.lax.dot_general(
-        onehot, z_msg.astype(dt),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+    r_contrib = mm_scatter(z_msg)
 
     @pl.when(tile_first)
     def _():
@@ -236,7 +305,6 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     in one revisited (L+8, L) block — the TPU grid is sequential so
     read-modify-write is safe."""
     dt = s_msg_ref.dtype
-    prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -245,32 +313,40 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    onehot = (col_ids == rcv_local).astype(dt)
     mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
 
-    def mm(x, y, dims):
-        # MXU pass in the stream dtype, fp32 accumulation
-        return jax.lax.dot_general(
-            x.astype(dt), y.astype(dt), dimension_numbers=(dims, ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
+    # fp32 mode: 3-pass split formulations (module header); bf16 mode:
+    # single DEFAULT pass in the stream dtype. fp32 accumulation either way.
+    if dt == jnp.float32:
+        onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
+        mm_gather = lambda a: _mm_onehot(onehot, a, ((1,), (0,)))
+        mm_scatter = lambda z: _mm_onehot(onehot, z, ((0,), (0,)))
+        mm = _mm_f32
+    else:
+        onehot = (col_ids == rcv_local).astype(dt)
+        mm_gather = lambda a: _dot_default(onehot, a, ((1,), (0,)))
+        mm_scatter = lambda z: _dot_default(onehot, z.astype(dt),
+                                            ((0,), (0,)))
+        mm = lambda x, y, dims: _dot_default(
+            x.astype(dt), y.astype(dt), dims
         )
 
     # --- message path (z_msg recomputed; it was never written in fwd; the
     # fwd masked z_msg, so the recomputed value must be re-masked before the
     # relu gate or padding edges would leak gradient) ---
-    a_u_rows = mm(onehot, a_u_ref[:, :], ((1,), (0,)))
+    a_u_rows = mm_gather(a_u_ref[:, :])
     h1 = jnp.maximum(a_u_rows + s_msg_ref[:, :].astype(jnp.float32), 0.0)
     y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2_ref[0, :].astype(jnp.float32)
     z_msg = jnp.maximum(y1, 0.0) * mask
 
-    g_r = mm(onehot, dr_ref[:, :], ((1,), (0,)))  # dR gathered at receivers
+    g_r = mm_gather(dr_ref[:, :])  # dR gathered at receivers
     dz_msg = g_r + dm_ref[0:1, :] + 2.0 * dm_ref[1:2, :] * z_msg
     dy1 = dz_msg * (z_msg > 0)
     dh1 = mm(dy1, w2_ref[:, :], ((1,), (1,)))
     dpre1 = dh1 * (h1 > 0)
 
     # --- edge-update path (z_upd streamed from fwd) ---
-    a_v_rows = mm(onehot, a_v_ref[:, :], ((1,), (0,)))
+    a_v_rows = mm_gather(a_v_ref[:, :])
     h2 = jnp.maximum(a_v_rows + s_upd_ref[:, :].astype(jnp.float32), 0.0)
     z_upd = z_upd_ref[:, :].astype(jnp.float32)
     dz_upd = (
@@ -284,8 +360,8 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     ds_msg_ref[:, :] = dpre1.astype(dt)
     ds_upd_ref[:, :] = dpre2.astype(dt)
 
-    da_u = mm(onehot, dpre1, ((0,), (0,)))
-    da_v = mm(onehot, dpre2, ((0,), (0,)))
+    da_u = mm_scatter(dpre1)
+    da_v = mm_scatter(dpre2)
 
     @pl.when(tile_first)
     def _():

@@ -52,3 +52,54 @@ def _bwd(num_nodes, res, g):
 
 
 sender_gather.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def sender_gather_pair(
+    proj_u: jax.Array,  # (Np, L)
+    proj_v: jax.Array,  # (Np, L)
+    senders: jax.Array,  # (Ep,) i32
+    snd_perm: jax.Array,
+    snd_sorted: jax.Array,
+    snd_block_tile: jax.Array,
+    num_nodes: int,
+) -> tuple[jax.Array, jax.Array]:
+    """BOTH sender gathers of a Processor step — ``proj_v[snd]`` (message
+    path) and ``proj_u[snd]`` (edge-update path) — with a MERGED backward:
+    the two cotangent streams are permuted into the shared sender-tile
+    layout and scattered in ONE kernel traversal
+    (ops/scatter_pallas.pallas_segment_sum_pair) instead of two. Kernel
+    fixed cost (~1 µs/block × ~2k blocks) is the dominant scatter cost, so
+    merging halves it."""
+    return (
+        jnp.take(proj_v, senders, axis=0),
+        jnp.take(proj_u, senders, axis=0),
+    )
+
+
+def _pair_fwd(proj_u, proj_v, senders, snd_perm, snd_sorted, snd_block_tile,
+              num_nodes):
+    out = (
+        jnp.take(proj_v, senders, axis=0),
+        jnp.take(proj_u, senders, axis=0),
+    )
+    return out, (snd_perm, snd_sorted, snd_block_tile)
+
+
+def _pair_bwd(num_nodes, res, cts):
+    snd_perm, snd_sorted, snd_block_tile = res
+    g_v, g_u = cts  # cotangents of (gather(proj_v), gather(proj_u))
+    from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum_pair
+
+    gv_sorted = jnp.take(g_v.astype(jnp.float32), snd_perm, axis=0,
+                         mode="fill", fill_value=0.0)
+    gu_sorted = jnp.take(g_u.astype(jnp.float32), snd_perm, axis=0,
+                         mode="fill", fill_value=0.0)
+    dv, du = pallas_segment_sum_pair(
+        gv_sorted, gu_sorted, snd_sorted, snd_block_tile, num_nodes
+    )
+    return (du.astype(g_u.dtype), dv.astype(g_v.dtype),
+            None, None, None, None)
+
+
+sender_gather_pair.defvjp(_pair_fwd, _pair_bwd)

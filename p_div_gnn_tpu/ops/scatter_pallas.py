@@ -60,16 +60,15 @@ def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref):
     col_ids = jax.lax.broadcasted_iota(
         jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
     )
-    onehot = (col_ids == rcv_local).astype(jnp.float32)
-    # HIGHEST precision: the one-hot is exact in bf16, but the messages
-    # must not be rounded — default MXU precision loses ~1e-3 per element.
-    contrib = jax.lax.dot_general(
-        onehot,
-        msg_ref[:, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # The one-hot is exact in bf16, but the messages must not be rounded
+    # to a single bf16 pass (~1e-3/element). Splitting the fp32 messages
+    # into three bf16 terms reproduces the fp32 scatter to ~2^-24 in THREE
+    # single-pass dots — half the MXU passes of Mosaic's 6-pass HIGHEST
+    # (ops/fused_edge.py module header; docs/evidence/microbench.json).
+    from p_div_gnn_tpu.ops.fused_edge import _mm_onehot
+
+    onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
+    contrib = _mm_onehot(onehot, msg_ref[:, :], ((0,), (0,)))
 
     @pl.when(is_first)
     def _():
@@ -147,3 +146,88 @@ def _bwd(num_nodes, receivers, g):
 
 
 pallas_segment_sum.defvjp(_fwd, _bwd)
+
+
+def _kernel_pair(block_tile_ref, a_ref, b_ref, rcv_ref, out_a_ref,
+                 out_b_ref):
+    """Two streams scattered by ONE receiver layout in one kernel pass:
+    one one-hot + one grid traversal instead of two (per-block fixed cost
+    — DMA issue + pipeline bookkeeping — is the dominant kernel cost at
+    ~1 µs/block; docs/evidence/microbench.json)."""
+    bi = pl.program_id(0)
+    tile = block_tile_ref[bi]
+    prev = block_tile_ref[jnp.maximum(bi - 1, 0)]
+    is_first = jnp.logical_or(bi == 0, tile != prev)
+
+    base = tile * NODE_TILE
+    rcv_local = rcv_ref[:, :] - base
+    col_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+    )
+    from p_div_gnn_tpu.ops.fused_edge import _mm_onehot
+
+    onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
+    ca = _mm_onehot(onehot, a_ref[:, :], ((0,), (0,)))
+    cb = _mm_onehot(onehot, b_ref[:, :], ((0,), (0,)))
+
+    @pl.when(is_first)
+    def _():
+        out_a_ref[:, :] = ca
+        out_b_ref[:, :] = cb
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_a_ref[:, :] = out_a_ref[:, :] + ca
+        out_b_ref[:, :] = out_b_ref[:, :] + cb
+
+
+def pallas_segment_sum_pair(
+    a: jax.Array,
+    b: jax.Array,
+    receivers: jax.Array,
+    block_tile: jax.Array,
+    num_nodes: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-add TWO (Ep, L) streams over one receiver layout in a
+    single kernel traversal. Used by the merged sender-gather VJP
+    (ops/gather.sender_gather_pair)."""
+    Ep, L = a.shape
+    assert b.shape == a.shape
+    assert num_nodes % NODE_TILE == 0 and Ep % EDGE_BLOCK == 0
+    n_blocks = Ep // EDGE_BLOCK
+    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
+    edge = pl.BlockSpec((EDGE_BLOCK, L), lambda bi, bt: (bi, 0),
+                        memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((NODE_TILE, L), lambda bi, bt: (bt[bi], 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            edge, edge,
+            pl.BlockSpec((EDGE_BLOCK, 1), lambda bi, bt: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(tile, tile),
+    )
+    with _maybe_interpret():
+        call = pl.pallas_call(
+            _kernel_pair,
+            out_shape=(
+                jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
+                jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Ep * NODE_TILE * L * 3,
+                bytes_accessed=Ep * L * 8 + Ep * 4 + num_nodes * L * 8,
+                transcendentals=0,
+            ),
+        )
+        return call(
+            block_tile.astype(jnp.int32), a.astype(jnp.float32),
+            b.astype(jnp.float32), rcv2d,
+        )

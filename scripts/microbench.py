@@ -239,8 +239,11 @@ def main():
 
     def kern_rowidx(bt_ref, a_ref, s_ref, rcv_ref, w_ref, out_ref):
         col = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NT), 1)
-        base = bt_ref[pl.program_id(0)] * NT
-        rcv_local = rcv_ref[0, :].reshape(EDGE_BLOCK, 1) - base
+        b = pl.program_id(0)
+        base = bt_ref[b] * NT
+        # (8, EB) index block shared by 8 consecutive grid steps (the
+        # index map is constant across them, so Pallas skips the re-fetch)
+        rcv_local = rcv_ref[b % 8, :].reshape(EDGE_BLOCK, 1) - base
         onehot = (col == rcv_local).astype(jnp.float32)
 
         def mm(x, y, dims=((1,), (0,))):
@@ -262,7 +265,7 @@ def main():
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, L), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, EDGE_BLOCK), lambda b, t: (b, 0),
+            pl.BlockSpec((8, EDGE_BLOCK), lambda b, t: (b // 8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -270,6 +273,9 @@ def main():
         out_specs=pl.BlockSpec((EDGE_BLOCK, L), lambda b, t: (b, 0),
                                memory_space=pltpu.VMEM),
     )
+    # pad the row-index table to a multiple of 8 block rows
+    nb8 = (n_blocks + 7) // 8 * 8
+    rcv_rows8 = jnp.pad(rcv_rows, ((0, nb8 - n_blocks), (0, 0)))
     call = pl.pallas_call(
         kern_rowidx,
         out_shape=jax.ShapeDtypeStruct((Ep, L), jnp.float32),
@@ -277,9 +283,58 @@ def main():
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )
-    f = scan_self(lambda s: call(bt, a_u, s, rcv_rows, w2), s0, KK)
+    f = scan_self(lambda s: call(bt, a_u, s, rcv_rows8, w2), s0, KK)
     results["kern_highest_5mm_rowidx"] = timed(
         "kernel highest x5mm row-idx", f, s0, reps=KK)
+
+    # fixed-cost scaling probe: same work in (2*EB, L) blocks (half the
+    # grid steps; tile indexing deliberately approximate — timing only)
+    def kern_fat(bt_ref, a_ref, s_ref, rcv_ref, w_ref, out_ref):
+        col = jax.lax.broadcasted_iota(jnp.int32, (2 * EDGE_BLOCK, NT), 1)
+        base = bt_ref[2 * pl.program_id(0)] * NT
+        onehot = (col == rcv_ref[:, :] - base).astype(jnp.float32)
+
+        def mm(x, y, dims=((1,), (0,))):
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        h = mm(onehot, a_ref[:, :]) + s_ref[:, :]
+        for _ in range(3):
+            h = mm(h, w_ref[:, :])
+        out_ref[:, :] = mm(h, w_ref[:, :])
+
+    nb2 = n_blocks // 2
+    grid_spec3 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb2,),
+        in_specs=[
+            pl.BlockSpec((NT, L), lambda b, t: (t[2 * b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * EDGE_BLOCK, L), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * EDGE_BLOCK, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * EDGE_BLOCK, L), lambda b, t: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kern_fat,
+        out_shape=jax.ShapeDtypeStruct((nb2 * 2 * EDGE_BLOCK, L),
+                                       jnp.float32),
+        grid_spec=grid_spec3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+    s0f = s0[: nb2 * 2 * EDGE_BLOCK]
+    f = scan_self(lambda s: call(bt, a_u, s, rcv2d[: nb2 * 2 * EDGE_BLOCK],
+                                 w2)[: s.shape[0]], s0f, KK)
+    results["kern_highest_5mm_fat2x"] = timed(
+        "kernel highest x5mm fat(2xEB blocks)", f, s0f, reps=KK)
 
     out = Path("docs/evidence/microbench.json")
     out.write_text(json.dumps(results, indent=1))
