@@ -49,7 +49,8 @@ def elapsed() -> float:
     return time.perf_counter() - T0
 
 
-def build_workload(n_graphs: int = 16, seed: int = 0):
+def build_workload(n_graphs: int = 16, seed: int = 0,
+                   pair_blocks: bool = False):
     import numpy as np
 
     from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh
@@ -87,14 +88,15 @@ def build_workload(n_graphs: int = 16, seed: int = 0):
                 div_col=op.col.astype(np.int64),
             )
         )
-    batch = pack_batch(samples, n_graphs=n_graphs)
+    batch = pack_batch(samples, n_graphs=n_graphs, pair_blocks=pair_blocks)
     n_real_edges = sum(s.num_edges for s in samples)
     n_real_nodes = sum(s.num_nodes for s in samples)
     return batch, n_real_edges, n_real_nodes
 
 
 def make_scanned_train_step(scatter_impl: str, batch,
-                            stream_dtype: str = "float32"):
+                            stream_dtype: str = "float32",
+                            remat: bool | None = None):
     """K train steps under ONE jit dispatch (lax.scan over the step body).
 
     The remote-TPU tunnel charges a large per-dispatch/sync latency that a
@@ -110,9 +112,17 @@ def make_scanned_train_step(scatter_impl: str, batch,
     from p_div_gnn_tpu.models import EncodeProcessDecode
     from p_div_gnn_tpu.train.loop import Trainer
 
+    if remat is None:
+        # The bench workload (43k nodes / 264k edge slots, batch 16) fits
+        # HBM WITHOUT per-step rematerialization, and skipping the remat
+        # replay saves ~21 ms/step (docs/evidence/decompose.json
+        # train_noremat); training runs default to remat_steps=True for
+        # larger-than-bench workloads (models/epd.py).
+        remat = os.environ.get("PDG_BENCH_REMAT", "0") == "1"
     model = EncodeProcessDecode(
         latent_size=128, message_passing_steps=10,
         scatter_impl=scatter_impl, stream_dtype=stream_dtype,
+        remat_steps=remat,
     )
     trainer = Trainer(
         model=model, stats=NormStats.ones(), learning_rate=1e-3,

@@ -70,11 +70,13 @@ def run_experience(
     resume: bool = False,
     cache_train_batches: bool = False,
     skip_nonfinite_updates: bool = False,
+    seed: int = SEED,  # reference default (gnn_train.py:38); override for
+    # multi-seed studies (e.g. the bf16-stream A/B)
     **_ignored: Any,
 ) -> tuple[list[float], list[float]]:
-    random.seed(SEED)
-    np.random.seed(SEED)
-    rng = jax.random.PRNGKey(SEED)
+    random.seed(seed)
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
 
     train_df = pd.read_csv(dataset_train_csv)
     test_df = pd.read_csv(dataset_test_csv)
@@ -108,7 +110,7 @@ def run_experience(
     # paths never read it
     sender_view = scatter_impl not in ("xla", "pallas")
     train_loader = GraphLoader(
-        train_ds.samples, batch_size, shuffle=True, seed=SEED,
+        train_ds.samples, batch_size, shuffle=True, seed=seed,
         cache_groups=cache_train_batches, pair_blocks=pair_blocks,
         sender_view=sender_view,
     )
@@ -139,7 +141,7 @@ def run_experience(
         mesh = Mesh(np.array(jax.devices()), ("data",))
         print(f"Data-parallel training over {mesh.devices.size} devices")
         train_loader = DPGraphLoader(
-            train_ds.samples, batch_size, mesh, shuffle=True, seed=SEED
+            train_ds.samples, batch_size, mesh, shuffle=True, seed=seed
         )
         test_loader = DPGraphLoader(test_ds.samples, batch_size, mesh)
     trainer = Trainer(

@@ -43,7 +43,9 @@ def log(*a):
 def main() -> None:
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # This is a virtual-mesh (CPU) measurement — force the platform even
+    # when the shell exports JAX_PLATFORMS=axon (the tunnel default).
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -51,11 +53,8 @@ def main() -> None:
         )
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
     import numpy as np
     import optax
     from jax.sharding import Mesh
@@ -100,14 +99,18 @@ def main() -> None:
             lambda x: np.asarray(x)[0] if getattr(x, "ndim", 0) else x,
             stacked,
         )
-        params = model.init(jax.random.PRNGKey(0), local, stats)
-        opt_state = optimizer.init(params)
+        params0 = model.init(jax.random.PRNGKey(0), local, stats)
+        # steps donate (params, opt_state) — every timing run gets a fresh
+        # device copy from a host-side master
+        p_np = jax.tree.map(np.asarray, params0)
+        fresh = lambda: jax.tree.map(jnp.asarray, p_np)
 
         # real DP step (with collectives)
         dp_step = make_dp_train_step(model, stats, optimizer, mesh,
                                      divergence_penalty=10.0,
                                      optimize_divergence=True)
-        t_dp = time_step(dp_step, params, opt_state, stacked)
+        params = fresh()
+        t_dp = time_step(dp_step, params, optimizer.init(params), stacked)
 
         # CONTROL: same sharded compute, collectives removed (per-shard
         # local loss + local grads; NOT training semantics — timing only)
@@ -140,7 +143,9 @@ def main() -> None:
             out_specs=(P(), P(), P()),
             check_vma=False,
         ))
-        t_ctrl = time_step(ctrl_step, params, opt_state, stacked)
+        params = fresh()
+        t_ctrl = time_step(ctrl_step, params, optimizer.init(params),
+                           stacked)
         rows.append({
             "devices": n,
             "dp_step_s": round(t_dp, 4),
@@ -212,11 +217,18 @@ def main() -> None:
         "host_cores": n_cores,
         "note": (
             "Virtual-mesh weak scaling on a 2-core host: the control row "
-            "(collectives removed) shows the same falloff as the DP row, "
-            "pinning the 8-device efficiency loss to host compute "
-            "oversubscription (8 virtual devices share 2 cores), not to "
-            "the collectives. The wire models predict real-chip "
-            "efficiency where each device has its own core."
+            "(collectives removed — NOT training semantics, a timing "
+            "control) falls off almost identically to the DP row "
+            "(devices share 2 physical cores; the compute-oversubscription "
+            "bound alone is cores/devices = 0.25 at D=8), pinning the bulk "
+            "of the virtual-mesh efficiency loss to host compute, not to "
+            "the collectives; the residual DP-vs-control gap is the CPU "
+            "backend's collective implementation under the same "
+            "oversubscription. Real-chip efficiency, where each device "
+            "has its own cores and collectives ride ICI, is predicted by "
+            "the wire models below: DP gradient all-reduce is ~0.03 ms "
+            "against a 224 ms step (>99.9%), and the edge-partitioned "
+            "halo traffic stays well above the 80% north star."
         ),
         "virtual_mesh_weak_scaling": rows,
         "edges_per_shard": edges_per_shard,
