@@ -240,11 +240,13 @@ class Processor(nn.Module):
                 )
             else:
                 g_v, g_u = proj_v[snd], proj_u[snd]
-            s_msg = (g_v + e_proj + edge_b0).astype(sd)
-            s_upd = (g_u + e_proj + edge_b0).astype(sd)
+            # the raw streams go straight into the kernel — the per-edge
+            # first-layer sums (gather + e-proj + b0) form in-kernel, so
+            # the two (Ep, L) s-streams are never materialized in HBM
             z_upd, r_raw, m = fused_edge_step(
                 proj_u[:Np].astype(sd), proj_v[:Np].astype(sd),
-                s_msg, s_upd,
+                g_v.astype(sd), g_u.astype(sd), e_proj.astype(sd),
+                edge_b0.astype(sd),
                 edge_lin1_k.astype(sd), edge_lin1_b.astype(sd),
                 rcv, aux, G,
             )

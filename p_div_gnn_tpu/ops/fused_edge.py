@@ -138,15 +138,19 @@ def _maybe_interpret():
 # ---------------------------------------------------------------------------
 
 
-def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
-                 rcv_ref, gid_ref, w2_ref, b2_ref,
+def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
+                 ep_ref, rcv_ref, gid_ref, w2_ref, b01_ref,
                  z_upd_ref, r_ref, m_ref, *, n_graphs: int):
-    # dtype-generic: streams (a/s/w2/b2/z_upd) may be bf16 (speed mode,
+    # dtype-generic: streams (a/g/ep/w2/z_upd) may be bf16 (speed mode,
     # halved HBM traffic) or fp32 (parity mode); all MXU contractions
     # accumulate fp32 and the R/M accumulators stay fp32 either way.
     # fp32 mode uses the 3-pass split formulations (see module header)
     # instead of Mosaic's 6-pass HIGHEST.
-    dt = s_msg_ref.dtype
+    # The per-edge first-layer sums s_* = gather + e-proj + b0 are formed
+    # IN-KERNEL from the raw streams (g_v, g_u, ep) — XLA never
+    # materializes the two (Ep, L) s-streams (saves ~810 MB/step of
+    # fusion traffic at the flagship workload).
+    dt = g_v_ref.dtype
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -170,14 +174,20 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
         )
         mm_w = lambda h, w: _dot_default(h.astype(dt), w, ((1,), (0,)))
 
-    def edge_mlp(a_ref, s_ref):
+    base_e = ep_ref[:, :].astype(jnp.float32) + b01_ref[0, :].astype(
+        jnp.float32
+    )
+
+    def edge_mlp(a_ref, g_ref):
         a_rows = mm_gather(a_ref[:, :])
-        h = jnp.maximum(a_rows + s_ref[:, :].astype(jnp.float32), 0.0)
-        y = mm_w(h, w2_ref[:, :]) + b2_ref[0, :].astype(jnp.float32)
+        h = jnp.maximum(
+            a_rows + g_ref[:, :].astype(jnp.float32) + base_e, 0.0
+        )
+        y = mm_w(h, w2_ref[:, :]) + b01_ref[1, :].astype(jnp.float32)
         return jnp.maximum(y, 0.0) * mask
 
-    z_msg = edge_mlp(a_u_ref, s_msg_ref)
-    z_upd = edge_mlp(a_v_ref, s_upd_ref)
+    z_msg = edge_mlp(a_u_ref, g_v_ref)
+    z_upd = edge_mlp(a_v_ref, g_u_ref)
     z_upd_ref[:, :] = z_upd.astype(dt)
 
     r_contrib = mm_scatter(z_msg)
@@ -211,12 +221,14 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
         m_ref[:, :] = m_ref[:, :] + m_contrib
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def fused_edge_step(
     a_u: jax.Array,  # (Np, L) receiver-slot projection for messages
     a_v: jax.Array,  # (Np, L) receiver-slot projection for the edge update
-    s_msg: jax.Array,  # (Ep, L) sender gather + e-proj + first bias (msg)
-    s_upd: jax.Array,  # (Ep, L) ditto for the edge update (slots swapped)
+    g_v: jax.Array,  # (Ep, L) sender gather of proj_v (message path)
+    g_u: jax.Array,  # (Ep, L) sender gather of proj_u (edge-update path)
+    ep: jax.Array,  # (Ep, L) edge-latent projection e @ W_e (shared)
+    b0: jax.Array,  # (L,) edge-net first-layer bias
     w2: jax.Array,  # (L, L)
     b2: jax.Array,  # (L,)
     receivers: jax.Array,  # (Ep,) i32, block-aligned CSR
@@ -224,19 +236,22 @@ def fused_edge_step(
     n_graphs: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (z_upd (Ep, L), R (Np, L) raw message scatter, M (8, L)
-    per-lane moment partials [Σz_msg, Σz_msg², Σz_upd, Σz_upd², 0...])."""
-    return _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux,
-                         n_graphs)
+    per-lane moment partials [Σz_msg, Σz_msg², Σz_upd, Σz_upd², 0...]).
+    The first-layer sums (gather + e-proj + b0) form in-kernel."""
+    return _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
+                         aux, n_graphs)
 
 
-def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
+def _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
+                  n_graphs):
     edge_gid, block_tile = aux
-    Ep, L = s_msg.shape
+    Ep, L = g_v.shape
     Np = a_u.shape[0]
     assert Ep % EDGE_BLOCK == 0 and Np % NODE_TILE == 0
     n_blocks = Ep // EDGE_BLOCK
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
     gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    b01 = jnp.stack([b0, b2], axis=0)  # (2, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -249,13 +264,15 @@ def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b, bt: (0, 0),
+            pl.BlockSpec((2, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -271,7 +288,7 @@ def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
         call = pl.pallas_call(
             functools.partial(_step_kernel, n_graphs=n_graphs),
             out_shape=(
-                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),  # z_upd stream
+                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # z_upd stream
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),  # R accumulator
                 jax.ShapeDtypeStruct((8, L), jnp.float32),  # M partials
             ),
@@ -281,30 +298,32 @@ def _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * Ep * L * (3 * NODE_TILE + 2 * L),
-                bytes_accessed=Ep * L * 12 + Ep * 8
+                bytes_accessed=Ep * L * 16 + Ep * 8
                 + n_blocks * NODE_TILE * L * 8,
                 transcendentals=0,
             ),
         )
         return call(
-            block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, rcv2d,
-            gid2d, w2, b2.reshape(1, L),
+            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, ep, rcv2d,
+            gid2d, w2, b01,
         )
 
 
-def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
-                     z_upd_ref, dz_upd_ref, dr_ref, dm_ref, rcv_ref, gid_ref,
-                     w2_ref, b2_ref,
-                     ds_msg_ref, ds_upd_ref, da_u_ref, da_v_ref, dwb_ref,
-                     *, n_graphs: int):
+def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
+                     ep_ref, z_upd_ref, dz_upd_ref, dr_ref, dm_ref,
+                     rcv_ref, gid_ref, w2_ref, b01_ref,
+                     dg_v_ref, dg_u_ref, dep_ref, da_u_ref, da_v_ref,
+                     dwb_ref, *, n_graphs: int):
     """One-pass backward: recomputes z_msg/h from the streamed inputs,
     gathers the scatter cotangent dR[rcv] as the transposed one-hot
     contraction, adds the moment-partial cotangents, and back-propagates
-    through both edge MLPs. Per-tile dA accumulators are revisited blocks
-    (grid-consecutive by the block-aligned CSR layout); dW2/db2 accumulate
-    in one revisited (L+8, L) block — the TPU grid is sequential so
-    read-modify-write is safe."""
-    dt = s_msg_ref.dtype
+    through both edge MLPs. Emits the raw-stream cotangents directly
+    (dg_v = dpre1, dg_u = dpre2, dep = dpre1 + dpre2). Per-tile dA
+    accumulators are revisited blocks (grid-consecutive by the
+    block-aligned CSR layout); dW2/db2/db0 accumulate in one revisited
+    (L+8, L) block — the TPU grid is sequential so read-modify-write is
+    safe."""
+    dt = g_v_ref.dtype
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -331,12 +350,19 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
             x.astype(dt), y.astype(dt), dims
         )
 
+    base_e = ep_ref[:, :].astype(jnp.float32) + b01_ref[0, :].astype(
+        jnp.float32
+    )
+    b2 = b01_ref[1, :].astype(jnp.float32)
+
     # --- message path (z_msg recomputed; it was never written in fwd; the
     # fwd masked z_msg, so the recomputed value must be re-masked before the
     # relu gate or padding edges would leak gradient) ---
     a_u_rows = mm_gather(a_u_ref[:, :])
-    h1 = jnp.maximum(a_u_rows + s_msg_ref[:, :].astype(jnp.float32), 0.0)
-    y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2_ref[0, :].astype(jnp.float32)
+    h1 = jnp.maximum(
+        a_u_rows + g_v_ref[:, :].astype(jnp.float32) + base_e, 0.0
+    )
+    y1 = mm(h1, w2_ref[:, :], ((1,), (0,))) + b2
     z_msg = jnp.maximum(y1, 0.0) * mask
 
     g_r = mm_gather(dr_ref[:, :])  # dR gathered at receivers
@@ -347,7 +373,9 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
 
     # --- edge-update path (z_upd streamed from fwd) ---
     a_v_rows = mm_gather(a_v_ref[:, :])
-    h2 = jnp.maximum(a_v_rows + s_upd_ref[:, :].astype(jnp.float32), 0.0)
+    h2 = jnp.maximum(
+        a_v_rows + g_u_ref[:, :].astype(jnp.float32) + base_e, 0.0
+    )
     z_upd = z_upd_ref[:, :].astype(jnp.float32)
     dz_upd = (
         dz_upd_ref[:, :].astype(jnp.float32)
@@ -357,8 +385,10 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     dh2 = mm(dy2, w2_ref[:, :], ((1,), (1,)))
     dpre2 = dh2 * (h2 > 0)
 
-    ds_msg_ref[:, :] = dpre1.astype(dt)
-    ds_upd_ref[:, :] = dpre2.astype(dt)
+    dpre_sum = dpre1 + dpre2
+    dg_v_ref[:, :] = dpre1.astype(dt)
+    dg_u_ref[:, :] = dpre2.astype(dt)
+    dep_ref[:, :] = dpre_sum.astype(dt)
 
     da_u = mm_scatter(dpre1)
     da_v = mm_scatter(dpre2)
@@ -376,8 +406,9 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
     L = h1.shape[1]
     dw2 = mm(h1, dy1, ((0,), (0,))) + mm(h2, dy2, ((0,), (0,)))
     db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
-    zero = jnp.zeros((7, L), jnp.float32)
-    dwb = jnp.concatenate([dw2, db2, zero], axis=0)
+    db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
+    zero = jnp.zeros((6, L), jnp.float32)
+    dwb = jnp.concatenate([dw2, db2, db0, zero], axis=0)
 
     @pl.when(b == 0)
     def _():
@@ -388,14 +419,15 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, s_msg_ref, s_upd_ref,
         dwb_ref[:, :] = dwb_ref[:, :] + dwb
 
 
-def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
+def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
                           block_tile, edge_gid, z_upd, dz_upd, dr, dm,
                           n_graphs):
-    Ep, L = s_msg.shape
+    Ep, L = g_v.shape
     Np = a_u.shape[0]
     n_blocks = Ep // EDGE_BLOCK
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
     gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
+    b01 = jnp.stack([b0, b2], axis=0)
     edge_spec = pl.BlockSpec((EDGE_BLOCK, L), lambda b, bt: (b, 0),
                              memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((NODE_TILE, L), lambda b, bt: (bt[b], 0),
@@ -404,7 +436,8 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            tile_spec, tile_spec, edge_spec, edge_spec, edge_spec, edge_spec,
+            tile_spec, tile_spec, edge_spec, edge_spec, edge_spec,
+            edge_spec, edge_spec,
             tile_spec,
             pl.BlockSpec((8, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -414,10 +447,11 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b, bt: (0, 0),
+            pl.BlockSpec((2, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            edge_spec,
             edge_spec,
             edge_spec,
             tile_spec,
@@ -430,11 +464,12 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
         call = pl.pallas_call(
             functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
             out_shape=(
-                # stream cotangents in the stream dtype; the dA/dW2/db2
+                # stream cotangents in the stream dtype; the dA/dW2/db
                 # ACCUMULATORS stay fp32 (revisited-block accumulation) and
                 # are cast to the input dtypes in _step_bwd
-                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),
-                jax.ShapeDtypeStruct((Ep, L), s_msg.dtype),
+                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dg_v
+                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dg_u
+                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dep
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
                 jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
@@ -445,32 +480,35 @@ def _step_backward_pallas(a_u, a_v, s_msg, s_upd, w2, b2, receivers,
             ),
         )
         return call(
-            block_tile.astype(jnp.int32), a_u, a_v, s_msg, s_upd, z_upd,
-            dz_upd, dr, dm, rcv2d, gid2d, w2, b2.reshape(1, L),
+            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, ep, z_upd,
+            dz_upd, dr, dm, rcv2d, gid2d, w2, b01,
         )
 
 
-def _step_fwd(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, n_graphs):
-    out = _step_forward(a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux,
+def _step_fwd(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, n_graphs):
+    out = _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
                         n_graphs)
     z_upd, r, m = out
-    return out, (a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, z_upd)
+    return out, (a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, z_upd)
 
 
 def _step_bwd(n_graphs, res, cot):
-    a_u, a_v, s_msg, s_upd, w2, b2, receivers, aux, z_upd = res
+    a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, z_upd = res
     dz_upd, dr, dm = cot
     edge_gid, block_tile = aux
-    ds_msg, ds_upd, da_u, da_v, dwb = _step_backward_pallas(
-        a_u, a_v, s_msg, s_upd, w2, b2, receivers, block_tile, edge_gid,
-        z_upd, dz_upd, dr, dm, n_graphs,
+    dg_v, dg_u, dep, da_u, da_v, dwb = _step_backward_pallas(
+        a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, block_tile,
+        edge_gid, z_upd, dz_upd, dr, dm, n_graphs,
     )
     L = w2.shape[0]
+    # dwb rows: [dW2 (L); db2 (1); db0 (1); zero padding (6)]
     return (
         da_u.astype(a_u.dtype),
         da_v.astype(a_v.dtype),
-        ds_msg,
-        ds_upd,
+        dg_v,
+        dg_u,
+        dep,
+        dwb[L + 1].astype(b0.dtype),
         dwb[:L].astype(w2.dtype),
         dwb[L].astype(b2.dtype),
         None,

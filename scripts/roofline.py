@@ -41,7 +41,7 @@ def main() -> None:
     p.add_argument("--out", default="docs/evidence/roofline.json")
     args = p.parse_args()
 
-    from bench import build_workload
+    from bench import SCAN_STEPS, build_workload, make_scanned_train_step
 
     from p_div_gnn_tpu.graphs.container import NormStats
     from p_div_gnn_tpu.models import EncodeProcessDecode
@@ -52,9 +52,11 @@ def main() -> None:
     print(f"workload: {n_nodes} nodes / {n_edges} edges "
           f"(padded {batch.num_nodes_padded}/{batch.num_edges_padded})")
     stats = NormStats.ones()
+    remat = os.environ.get("PDG_BENCH_REMAT", "0") == "1"
     model = EncodeProcessDecode(
         latent_size=128, message_passing_steps=10,
         scatter_impl=args.impl, stream_dtype=args.stream_dtype,
+        remat_steps=remat,
     )
     trainer = Trainer(model=model, stats=stats, learning_rate=1e-3,
                       divergence_penalty=10.0, optimize_divergence=True)
@@ -68,16 +70,16 @@ def main() -> None:
     print(f"XLA cost analysis: {flops/1e12:.3f} TFLOP, "
           f"{bytes_acc/1e9:.2f} GB accessed")
 
-    jstep = jax.jit(step)
-    jax.block_until_ready(jstep(params, opt_state, batch))  # compile
+    # canonical scan driver (same as bench.py — PROTOCOL.md)
+    scanned, sp, so = make_scanned_train_step(
+        args.impl, batch, stream_dtype=args.stream_dtype
+    )
     best = np.inf
     for r in range(args.rounds):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(5):
-            out = jstep(params, opt_state, batch)
-        jax.block_until_ready(out)
-        t = (time.perf_counter() - t0) / 5
+        _, totals = scanned(sp, so)
+        jax.block_until_ready(totals)
+        t = (time.perf_counter() - t0) / SCAN_STEPS
         best = min(best, t)
         print(f"  r{r}: {t*1e3:.1f} ms")
 

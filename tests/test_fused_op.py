@@ -14,13 +14,14 @@ from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, blockify_edges
 from p_div_gnn_tpu.ops.fused_edge import NODE_TILE, fused_edge_step
 
 
-def _reference(a_u, a_v, s_msg, s_upd, w2, b2, rcv, gid, n_graphs, num_nodes):
+def _reference(a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv, gid, n_graphs,
+               num_nodes):
     mask = (gid < n_graphs).astype(jnp.float32)[:, None]
     z_msg = jnp.maximum(
-        jnp.maximum(a_u[rcv] + s_msg, 0.0) @ w2 + b2, 0.0
+        jnp.maximum(a_u[rcv] + g_v + ep + b0, 0.0) @ w2 + b2, 0.0
     ) * mask
     z_upd = jnp.maximum(
-        jnp.maximum(a_v[rcv] + s_upd, 0.0) @ w2 + b2, 0.0
+        jnp.maximum(a_v[rcv] + g_u + ep + b0, 0.0) @ w2 + b2, 0.0
     ) * mask
     r = jax.ops.segment_sum(z_msg, rcv, num_segments=num_nodes)
     m = jnp.stack([
@@ -62,8 +63,10 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
     Ep = rcv.shape[0]
     a_u = jnp.asarray(rng.normal(size=(num_nodes, L)), jnp.float32)
     a_v = jnp.asarray(rng.normal(size=(num_nodes, L)), jnp.float32)
-    s_msg = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
-    s_upd = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    g_v = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    g_u = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    ep = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(L,)), jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(L, L)) / np.sqrt(L), jnp.float32)
     b2 = jnp.asarray(rng.normal(size=(L,)), jnp.float32)
     rcv_j = jnp.asarray(rcv)
@@ -72,10 +75,11 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
 
     with pltpu.force_tpu_interpret_mode():
         z_upd, r, m = fused_edge_step(
-            a_u, a_v, s_msg, s_upd, w2, b2, rcv_j, aux, n_graphs
+            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, aux, n_graphs
         )
     z_ref, r_ref, m_ref = _reference(
-        a_u, a_v, s_msg, s_upd, w2, b2, rcv_j, gid_j, n_graphs, num_nodes
+        a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, gid_j, n_graphs,
+        num_nodes
     )
     np.testing.assert_allclose(np.asarray(z_upd), np.asarray(z_ref),
                                rtol=1e-5, atol=1e-5)
@@ -86,26 +90,27 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
 
     # gradients: nonzero cotangents on ALL outputs via a mixed scalar loss
     def loss_fused(args):
-        a_u, a_v, s_msg, s_upd, w2, b2 = args
+        a_u, a_v, g_v, g_u, ep, b0, w2, b2 = args
         z, r, m = fused_edge_step(
-            a_u, a_v, s_msg, s_upd, w2, b2, rcv_j, aux, n_graphs
+            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, aux, n_graphs
         )
         return (jnp.sum(jnp.sin(z)) + jnp.sum(r * r) * 0.1
                 + jnp.sum(m[:4] * jnp.arange(1.0, 5.0)[:, None]))
 
     def loss_ref(args):
-        a_u, a_v, s_msg, s_upd, w2, b2 = args
+        a_u, a_v, g_v, g_u, ep, b0, w2, b2 = args
         z, r, m = _reference(
-            a_u, a_v, s_msg, s_upd, w2, b2, rcv_j, gid_j, n_graphs, num_nodes
+            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, gid_j, n_graphs,
+            num_nodes
         )
         return (jnp.sum(jnp.sin(z)) + jnp.sum(r * r) * 0.1
                 + jnp.sum(m[:4] * jnp.arange(1.0, 5.0)[:, None]))
 
-    args = (a_u, a_v, s_msg, s_upd, w2, b2)
+    args = (a_u, a_v, g_v, g_u, ep, b0, w2, b2)
     with pltpu.force_tpu_interpret_mode():
         g_fused = jax.grad(loss_fused)(args)
     g_ref = jax.grad(loss_ref)(args)
-    names = ["a_u", "a_v", "s_msg", "s_upd", "w2", "b2"]
+    names = ["a_u", "a_v", "g_v", "g_u", "ep", "b0", "w2", "b2"]
     for name, a, b in zip(names, g_fused, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
