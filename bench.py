@@ -88,7 +88,8 @@ def build_workload(n_graphs: int = 16, seed: int = 0,
                 div_col=op.col.astype(np.int64),
             )
         )
-    batch = pack_batch(samples, n_graphs=n_graphs, pair_blocks=pair_blocks)
+    batch = pack_batch(samples, n_graphs=n_graphs, pair_blocks=pair_blocks,
+                       reorder="rcm")
     n_real_edges = sum(s.num_edges for s in samples)
     n_real_nodes = sum(s.num_nodes for s in samples)
     return batch, n_real_edges, n_real_nodes

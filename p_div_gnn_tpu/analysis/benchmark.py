@@ -115,7 +115,7 @@ def main(
                 div_row=np.zeros(1, np.int64),
                 div_col=np.zeros(1, np.int64),
             )
-            return pack_batch([s], n_graphs=1)
+            return pack_batch([s], n_graphs=1, reorder="rcm")
 
         batch = build_batch()
         if params is None:

@@ -55,9 +55,14 @@ def _round_up(x: int, m: int) -> int:
 # HBM-bound) — larger blocks trade padding for ~linearly fewer grid steps.
 # Env-tunable for experiments; layouts and kernels share this constant.
 EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "128"))
-# sender-view padding sentinel: HIGH out-of-bounds so jnp.take(mode='fill')
-# yields fill_value (negative indices would wrap around instead)
-PAD_SLOT = np.int32(2**31 - 1)
+# Sender-view padding: snd_perm padding slots point at edge slot 0 (a VALID
+# index, so the cotangent permutation runs as an UNGUARDED gather — XLA's
+# guarded mode="fill" gather measured ~15% slower on the flagship workload),
+# and snd_sorted padding slots carry -1, whose local tile id falls outside
+# [0, 128) so the scatter kernel's one-hot row is all-zero — padding
+# contributes exactly nothing regardless of the gathered values.
+PAD_SLOT = np.int32(0)
+PAD_NODE = np.int32(-1)
 
 
 def blockify_edges(
@@ -243,9 +248,7 @@ def build_sender_view(
 
     order = np.argsort(s_tile, kind="stable")
     snd_perm = np.full(total, PAD_SLOT, np.int32)
-    snd_sorted = np.empty(total, np.int32)
-    for t in range(n_tiles):
-        snd_sorted[starts[t] : starts[t] + cap[t]] = t * tile + (tile - 1)
+    snd_sorted = np.full(total, PAD_NODE, np.int32)
     in_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     for t in range(n_tiles):
         c = counts[t]
@@ -279,8 +282,7 @@ def pad_sender_view(
     return (
         np.concatenate([snd_perm, np.full(extra, PAD_SLOT, np.int32)]),
         np.concatenate(
-            [snd_sorted,
-             np.full(extra, last_tile * tile + (tile - 1), np.int32)]
+            [snd_sorted, np.full(extra, PAD_NODE, np.int32)]
         ),
         np.concatenate(
             [snd_block_tile,
@@ -368,6 +370,66 @@ def build_div_ell(
     }
 
 
+def rcm_order(
+    edge_index: np.ndarray, num_nodes: int
+) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering of one graph.
+
+    Returns ``perm`` with ``perm[i]`` = original index of the node placed
+    at position ``i``. RCM minimizes adjacency bandwidth, so after
+    reordering both endpoints of (almost) every edge fall in the same or
+    a neighboring 128-node tile — the property the sender-view gather and
+    banded scatter paths exploit. The model is permutation-equivariant
+    over nodes (message passing + masked segment reductions), so
+    reordering changes float reduction order only, never semantics."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    adj = coo_matrix(
+        (
+            np.ones(edge_index.shape[1], np.int8),
+            (edge_index[0], edge_index[1]),
+        ),
+        shape=(num_nodes, num_nodes),
+    ).tocsr()
+    return np.asarray(
+        reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64
+    )
+
+
+def _reorder_sample(s: GraphSample) -> tuple[GraphSample, np.ndarray]:
+    """RCM-permuted copy of a sample (host-side numpy; O(N + E))."""
+    n = s.num_nodes
+    perm = rcm_order(np.asarray(s.graph.edge_index), n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    g = s.graph
+    graph = dataclasses.replace(
+        g,
+        pos=np.asarray(g.pos)[perm],
+        edge_index=inv[np.asarray(g.edge_index)],
+        faces=(inv[np.asarray(g.faces)] if g.faces is not None else None),
+    )
+    cols = np.asarray(s.div_col, np.int64)
+    comp, node = cols // n, cols % n
+    # entries with col >= 2n (virtual strain dofs) are dropped by pack_batch
+    # — map only the in-range ones, keep the drop marker intact
+    in_range = comp < 2
+    new_cols = np.where(in_range, comp * n + inv[np.clip(node, 0, n - 1)],
+                        cols)
+    return (
+        dataclasses.replace(
+            s,
+            graph=graph,
+            local_stress=np.asarray(s.local_stress)[perm],
+            node_labels=np.asarray(s.node_labels)[perm],
+            div_row=inv[np.asarray(s.div_row, np.int64)],
+            div_col=new_cols,
+        ),
+        perm,
+    )
+
+
 def _bucket(x: int, m: int, buckets: tuple[int, ...] | None) -> int:
     x = _round_up(x, m)
     if buckets:
@@ -391,6 +453,7 @@ def pack_batch(
     div_ell: bool = True,
     pad_div_w: int | None = None,
     pad_div_wt: int | None = None,
+    reorder: str | None = None,
 ) -> GraphBatch:
     """Concatenate samples into one padded batch (host-side, numpy).
 
@@ -401,6 +464,12 @@ def pack_batch(
     """
     G = n_graphs if n_graphs is not None else len(samples)
     assert len(samples) <= G
+    node_order = None
+    if reorder is not None:
+        assert reorder == "rcm", f"unknown reorder {reorder!r}"
+        reordered = [_reorder_sample(s) for s in samples]
+        samples = [s for s, _ in reordered]
+        perms = [p for _, p in reordered]
     tot_nodes = sum(s.num_nodes for s in samples)
     tot_edges = sum(s.num_edges for s in samples)
     tot_div = sum(s.num_div_entries for s in samples)
@@ -527,7 +596,13 @@ def pack_batch(
             div_col_is_y[:k_off], num_nodes=Np,
             pad_w=pad_div_w, pad_wt=pad_div_wt,
         )
+    if reorder is not None:
+        node_order = np.zeros(Np, np.int32)
+        for g, s in enumerate(samples):
+            off = int(graph_node_offset[g])
+            node_order[off : off + s.num_nodes] = perms[g].astype(np.int32)
     return GraphBatch(
+        node_order=node_order,
         **ell,
         pos=pos,
         mean_stress=mean_stress,
@@ -564,12 +639,23 @@ def unpack_predictions(
     out = []
     counts = np.asarray(batch.graph_node_count)
     offsets = np.asarray(batch.graph_node_offset)
+    order = (
+        np.asarray(batch.node_order) if batch.node_order is not None
+        else None
+    )
     for g in range(batch.n_graphs):
         n = int(counts[g])
         if n == 0:
             continue
         off = int(offsets[g])
-        out.append(np.asarray(prediction[off : off + n]))
+        pred = np.asarray(prediction[off : off + n])
+        if order is not None:
+            # invert the pack-time node reordering: packed row i holds the
+            # node whose ORIGINAL local index is order[off + i]
+            orig = np.empty_like(pred)
+            orig[order[off : off + n]] = pred
+            pred = orig
+        out.append(pred)
     return out
 
 

@@ -59,9 +59,8 @@ class GraphBatch(flax.struct.PyTreeNode):
     # instead of XLA's per-element generic scatter (see
     # batching.build_sender_view). None when a producer doesn't build it
     # (e.g. edge-partitioned shards) — consumers fall back to XLA.
-    # padding slots hold batching.PAD_SLOT (2**31-1, an out-of-bounds
-    # sentinel consumed via jnp.take(mode="fill")) — NOT -1, which would
-    # silently wrap to the last slot
+    # padding slots: snd_perm points at edge slot 0 (valid → unguarded
+    # gather) and snd_sorted carries -1 (dead one-hot row in the kernel)
     snd_perm: Array | None = None  # (Ep2,) i32 source edge slot
     snd_sorted: Array | None = None  # (Ep2,) i32 sender node per slot
     snd_block_tile: Array | None = None  # (Ep2/EDGE_BLOCK,) i32
@@ -79,6 +78,16 @@ class GraphBatch(flax.struct.PyTreeNode):
     divT_row: Array | None = None  # (Np, Wt) i32 row node (pad → Np−1)
     divT_val: Array | None = None  # (Np, Wt) f32
     divT_isy: Array | None = None  # (Np, Wt) i8
+
+    # --- optional node-reordering record (pack_batch(reorder="rcm")):
+    # node_order[off+i] = ORIGINAL local index (within its graph) of the
+    # node stored at packed row off+i. RCM reordering shrinks the
+    # sender-vs-receiver tile distance to <=2 tiles (measured: 100% of the
+    # flagship workload's edges; 97% within +-1), which makes the
+    # sender-view permutation near-local (fast HBM gathers) and enables
+    # banded in-kernel scatter designs. Predictions are mapped back to the
+    # original mesh order by unpack_predictions. None = identity order.
+    node_order: Array | None = None  # (Np,) i32
 
     # --- optional pair-blocked layout marker (batching.blockify_edges_pair,
     # scatter_impl="fused2"): sender tile per edge block. When set, the

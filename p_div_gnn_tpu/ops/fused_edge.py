@@ -900,8 +900,9 @@ def _step2_bwd(n_graphs, res, cot):
         from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
 
         def snd_scatter(stream):
-            s = jnp.take(stream.astype(jnp.float32), snd_perm, axis=0,
-                         mode="fill", fill_value=0.0)
+            s = stream.astype(jnp.float32).at[snd_perm].get(
+                mode="promise_in_bounds"
+            )
             return pallas_segment_sum(s, snd_sorted, snd_block_tile, Np)
     else:
         from p_div_gnn_tpu.ops.segment import segment_sum

@@ -39,11 +39,12 @@ def _bwd(num_nodes, res, g):
     senders, snd_perm, snd_sorted, snd_block_tile = res
     from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
 
-    # permute the cotangent stream into sender-tile blocks; padding slots
-    # carry a high out-of-bounds sentinel → filled with 0
-    g_sorted = jnp.take(
-        g.astype(jnp.float32), snd_perm, axis=0,
-        mode="fill", fill_value=0.0,
+    # permute the cotangent stream into sender-tile blocks. Padding slots
+    # point at edge slot 0 (valid — the gather runs unguarded) and carry
+    # snd_sorted == -1, so the scatter kernel's one-hot row is all-zero
+    # and the junk rows contribute nothing.
+    g_sorted = g.astype(jnp.float32).at[snd_perm].get(
+        mode="promise_in_bounds"
     )
     dproj = pallas_segment_sum(
         g_sorted, snd_sorted, snd_block_tile, num_nodes
@@ -91,10 +92,14 @@ def _pair_bwd(num_nodes, res, cts):
     g_v, g_u = cts  # cotangents of (gather(proj_v), gather(proj_u))
     from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum_pair
 
-    gv_sorted = jnp.take(g_v.astype(jnp.float32), snd_perm, axis=0,
-                         mode="fill", fill_value=0.0)
-    gu_sorted = jnp.take(g_u.astype(jnp.float32), snd_perm, axis=0,
-                         mode="fill", fill_value=0.0)
+    # unguarded gathers (padding slots point at slot 0; their one-hot rows
+    # are dead via snd_sorted == -1)
+    gv_sorted = g_v.astype(jnp.float32).at[snd_perm].get(
+        mode="promise_in_bounds"
+    )
+    gu_sorted = g_u.astype(jnp.float32).at[snd_perm].get(
+        mode="promise_in_bounds"
+    )
     dv, du = pallas_segment_sum_pair(
         gv_sorted, gu_sorted, snd_sorted, snd_block_tile, num_nodes
     )

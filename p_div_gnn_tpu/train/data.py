@@ -37,6 +37,7 @@ class GraphLoader:
         cache_groups: bool = False,
         pair_blocks: bool = False,
         sender_view: bool = True,
+        reorder: str | None = "rcm",
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -61,6 +62,11 @@ class GraphLoader:
         # callers on the xla/pallas paths pass False to skip its host
         # build + per-step transfer
         self.sender_view = sender_view
+        # RCM node reordering (default): shrinks sender-receiver tile
+        # distance so the sender-view permutation gathers stay HBM-local.
+        # Semantically a no-op (permutation-equivariant model; predictions
+        # are unpermuted by unpack_predictions).
+        self.reorder = reorder
         self._device_cache: list[GraphBatch] | None = None
         self.node_buckets = default_node_buckets()
         # Edge/div capacities are TIED to the node bucket, so the number of
@@ -137,6 +143,7 @@ class GraphLoader:
                     pad_nodes=pn, pad_edges=pe, pad_div=pd,
                     pair_blocks=self.pair_blocks,
                     sender_view=self.sender_view,
+                    reorder=self.reorder,
                 )
                 self._check_capacity(host_batch, pe)
                 cache.append(jax.tree.map(jax.device_put, host_batch))
@@ -160,6 +167,7 @@ class GraphLoader:
                 pad_div=pad_div,
                 pair_blocks=self.pair_blocks,
                 sender_view=self.sender_view,
+                reorder=self.reorder,
             )
             self._check_capacity(batch, pad_edges)
             if self.cache_device_batches:

@@ -238,3 +238,44 @@ def test_div_entries_remapped():
         np.asarray(batch.div_col_is_y)[:k], s.div_col // n
     )
     assert np.all(np.asarray(batch.div_data)[k:] == 0)
+
+
+def test_rcm_reorder_equivalence():
+    """pack_batch(reorder='rcm') is semantically a no-op: the model is
+    permutation-equivariant over nodes, so the loss and the UNPACKED
+    predictions must match the identity-order pack (up to float reduction
+    order)."""
+    import jax
+
+    from p_div_gnn_tpu.graphs.container import NormStats
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+
+    samples = [_toy_sample(s) for s in range(2)]
+    plain = pack_batch(samples, n_graphs=2)
+    rcm = pack_batch(samples, n_graphs=2, reorder="rcm")
+
+    # unpack inverts the reordering exactly (targets travel with the nodes)
+    for a, b in zip(
+        unpack_predictions(plain, np.asarray(plain.local_stress)),
+        unpack_predictions(rcm, np.asarray(rcm.local_stress)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    model = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
+    stats = NormStats.ones()
+    params = model.init(jax.random.PRNGKey(0), plain, stats)
+    out_plain = unpack_predictions(
+        plain, np.asarray(model.apply(params, plain, stats))
+    )
+    out_rcm = unpack_predictions(
+        rcm, np.asarray(model.apply(params, rcm, stats))
+    )
+    for a, b in zip(out_plain, out_rcm):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    # the reordering actually tightened locality: senders of every real
+    # edge stay within +-2 tiles of their receivers on a mesh this small
+    em = np.asarray(rcm.edge_mask)
+    rt = np.asarray(rcm.receivers)[em] // 128
+    st = np.asarray(rcm.senders)[em] // 128
+    assert np.abs(rt - st).max() <= 2
