@@ -17,7 +17,7 @@ same code via jax.distributed.initialize.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -104,19 +104,20 @@ def pack_sharded_batch(
             return arr
         return np.pad(arr, ((0, 0), (0, dw)), constant_values=pad)
 
-    w = max(b.div_src.shape[1] for b in packed)
-    wt = max(b.divT_row.shape[1] for b in packed)
-    packed = [
-        b.replace(
-            div_src=pad_ell(b.div_src, w, b.num_nodes_padded - 1),
-            div_val=pad_ell(b.div_val, w, 0),
-            div_isy=pad_ell(b.div_isy, w, 0),
-            divT_row=pad_ell(b.divT_row, wt, b.num_nodes_padded - 1),
-            divT_val=pad_ell(b.divT_val, wt, 0),
-            divT_isy=pad_ell(b.divT_isy, wt, 0),
-        )
-        for b in packed
-    ]
+    if packed[0].div_src is not None:  # ELL views absent under div_ell=False
+        w = max(b.div_src.shape[1] for b in packed)
+        wt = max(b.divT_row.shape[1] for b in packed)
+        packed = [
+            b.replace(
+                div_src=pad_ell(b.div_src, w, b.num_nodes_padded - 1),
+                div_val=pad_ell(b.div_val, w, 0),
+                div_isy=pad_ell(b.div_isy, w, 0),
+                divT_row=pad_ell(b.divT_row, wt, b.num_nodes_padded - 1),
+                divT_val=pad_ell(b.divT_val, wt, 0),
+                divT_isy=pad_ell(b.divT_isy, wt, 0),
+            )
+            for b in packed
+        ]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *packed)
     return stacked
 
@@ -163,7 +164,7 @@ class DPGraphLoader:
 
 
 def make_dp_train_step(
-    model,
+    model: Any,
     stats: NormStats,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
@@ -226,7 +227,7 @@ def make_dp_train_step(
 
 
 def make_dp_eval_step(
-    model, stats: NormStats, mesh: Mesh, axis: str = "data"
+    model: Any, stats: NormStats, mesh: Mesh, axis: str = "data"
 ) -> Callable:
     def per_shard(params, local_batch: GraphBatch):
         local_batch = jax.tree.map(lambda x: x[0], local_batch)
@@ -251,7 +252,7 @@ def make_dp_eval_step(
     )
 
 
-def device_put_sharded_batch(batch: GraphBatch, mesh: Mesh, axis: str = "data"):
+def device_put_sharded_batch(batch: GraphBatch, mesh: Mesh, axis: str = "data") -> Any:
     """Place a host-stacked batch onto the mesh, one shard per device.
 
     Under multi-process execution (jax.distributed initialized, mesh over

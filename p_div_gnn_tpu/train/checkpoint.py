@@ -67,14 +67,26 @@ def load_checkpoint(
         except (ValueError, KeyError) as exc:
             # Toggling skip_nonfinite_updates wraps the opt state in
             # ApplyIfFiniteState, so a checkpoint written under the other
-            # setting has a different pytree structure. Fall back to a
-            # params-only restore (fresh optimizer) instead of crash-looping
-            # an unattended watchdog-driven resume.
+            # setting has a different pytree structure. ONLY that specific
+            # wrapper-presence mismatch falls back to a params-only restore
+            # (fresh optimizer) — so an unattended watchdog-driven resume
+            # survives the toggle — while any other structural mismatch
+            # (corrupted or wrong-model checkpoint) re-raises instead of
+            # silently resetting Adam moments (ADVICE r3).
+            def _is_wrapped(sd: Any) -> bool:
+                wrapper = {"notfinite_count", "last_finite",
+                           "total_notfinite", "inner_state"}
+                return isinstance(sd, dict) and wrapper <= set(sd)
+
+            saved_sd = payload["optimizer_state_dict"]
+            tmpl_sd = flax.serialization.to_state_dict(opt_state_template)
+            if _is_wrapped(saved_sd) == _is_wrapped(tmpl_sd):
+                raise  # not the documented toggle — fail loudly
             print(
-                "WARNING: checkpoint optimizer state does not match the "
-                f"current optimizer structure ({exc}); restoring params "
-                "only with a FRESH optimizer state (Adam moments reset — "
-                "expect a brief loss bump after resume)."
+                "WARNING: checkpoint optimizer state was saved with the "
+                f"opposite skip_nonfinite_updates setting ({exc}); "
+                "restoring params only with a FRESH optimizer state (Adam "
+                "moments reset — expect a brief loss bump after resume)."
             )
             opt_state = None
     stats = NormStats.from_dict(payload["stats"])

@@ -64,6 +64,32 @@ class Trainer:
     skip_nonfinite_updates: bool = False
     _max_consecutive_nonfinite: int = 100
 
+    def _nonfinite_abort_check(
+        self, params, opt_state, weights_folder: Path, epoch: int
+    ) -> None:
+        """Abort the run if the consecutive-nonfinite counter crossed half
+        the give-up budget. apply_if_finite APPLIES the NaN update once
+        ``notfinite_count > max_consecutive_errors`` (optax source), so the
+        abort must fire strictly before the counter can get there. Called
+        every ``max//2`` train steps AND at epoch end: between two checks
+        the counter grows by at most ``max//2``, so it is observed (and the
+        run aborted) while still ``< max`` — params are therefore still
+        finite here (every nonfinite step so far was skipped), making the
+        saved checkpoint safe to resume from. Forces one device sync; the
+        feature is opt-in."""
+        threshold = self._max_consecutive_nonfinite // 2
+        nf_run = int(opt_state.notfinite_count)
+        if nf_run >= threshold:
+            save_checkpoint(
+                weights_folder / LAST_CHECKPOINT,
+                params, opt_state, epoch + 1, self.stats,
+            )
+            raise RuntimeError(
+                f"training diverged: {nf_run} consecutive nonfinite "
+                "updates — aborting before apply_if_finite gives up and "
+                "applies a NaN update"
+            )
+
     def __post_init__(self):
         # torch.optim.Adam defaults: betas (0.9, 0.999), eps 1e-8
         # (`gnn_train.py:118`); optax.adam matches bias correction + eps
@@ -108,7 +134,7 @@ class Trainer:
                 )
             )
 
-    def init(self, rng: jax.Array, batch: GraphBatch):
+    def init(self, rng: jax.Array, batch: GraphBatch) -> tuple:
         if self.mesh is not None:
             # DP batches carry a leading shard axis; init on one shard
             import numpy as np
@@ -230,6 +256,16 @@ class Trainer:
                 if verbose and n_tr % 100 == 0:
                     print(f"  epoch {epoch + 1}: {n_tr} steps dispatched",
                           flush=True)
+                # In-loop divergence guard: without this, an epoch longer
+                # than max_consecutive_errors steps lets apply_if_finite
+                # give up and apply the NaN update mid-epoch (ADVICE r3).
+                if (
+                    self.skip_nonfinite_updates
+                    and n_tr % (self._max_consecutive_nonfinite // 2) == 0
+                ):
+                    self._nonfinite_abort_check(
+                        params, opt_state, weights_folder, epoch
+                    )
             te_nmse = te_div = te_total = jnp.float32(0)
             n_te = 0
             for batch in test_loader:
@@ -259,16 +295,9 @@ class Trainer:
                     writer.add_scalar(
                         "Steps skipped (nonfinite)", nf_total, epoch + 1
                     )
-                if nf_run >= self._max_consecutive_nonfinite - 1:
-                    save_checkpoint(
-                        weights_folder / LAST_CHECKPOINT,
-                        params, opt_state, epoch + 1, self.stats,
-                    )
-                    raise RuntimeError(
-                        f"training diverged: {nf_run} consecutive nonfinite "
-                        "updates — aborting before apply_if_finite gives up "
-                        "and applies a NaN update"
-                    )
+                self._nonfinite_abort_check(
+                    params, opt_state, weights_folder, epoch
+                )
 
             train_loss = tr_total / max(n_tr, 1)
             test_loss = te_total / max(n_te, 1)

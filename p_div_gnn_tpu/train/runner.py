@@ -63,7 +63,7 @@ def run_experience(
     device: str = "tpu",  # accepted for config compat; backend is JAX's
     periodic_graph: bool = True,
     monitor_divergence_in_test: bool = False,
-    config_path: Path | str = Path(""),
+    config_path: Path | str | None = None,
     scatter_impl: str = "xla",
     stream_dtype: str = "float32",
     data_parallel: bool = False,
@@ -174,7 +174,9 @@ def run_experience(
             trainer.stats = restored_stats
             print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
-    if str(config_path):
+    # NB: `Path("")` stringifies to "." (a directory) — only copy when a
+    # real config file was passed (programmatic callers pass none).
+    if config_path is not None and Path(config_path).is_file():
         results.mkdir(parents=True, exist_ok=True)
         shutil.copyfile(config_path, results / Path(config_path).name)
     with MetricsWriter(results / "train_logs") as writer:
@@ -201,6 +203,9 @@ def run_experience(
 
 
 def main(config_path: str, resume_override: bool | None = None) -> None:
+    from p_div_gnn_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     with open(config_path) as fh:
         params = yaml.safe_load(fh)
     params["config_path"] = Path(config_path)
