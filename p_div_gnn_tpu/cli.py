@@ -60,6 +60,12 @@ def generate_main(argv: list[str] | None = None) -> None:
         help="elastic BC mode: strain-controlled (reference main) or "
              "stress-controlled (compute_mechanical_fields_neumann)",
     )
+    p.add_argument(
+        "--element", choices=("tri", "quad"), default="tri",
+        help="element type: P1 triangles (reference main) or Q4 quads "
+             "(reference capability hole_plate_mesh_quad, "
+             "generate_dataset_hyperelast.py:106-161)",
+    )
     args = p.parse_args(argv)
     t0 = time.perf_counter()
     from p_div_gnn_tpu.datagen.generate import main
@@ -72,6 +78,7 @@ def generate_main(argv: list[str] | None = None) -> None:
         max_workers=args.max_workers,
         hyperelastic=args.hyperelastic,
         bc=args.bc,
+        element=args.element,
     )
     print(f"Data generated in {time.perf_counter() - t0:9.4f} seconds")
 

@@ -63,24 +63,90 @@ def triangle_geometry(
     return grads, areas
 
 
+# Q4 reference-element node coordinates (CCW) and bilinear shape
+# derivatives dN_i/d(ξ,η) = [ξ_i(1+η_i η)/4, η_i(1+ξ_i ξ)/4].
+_Q4_XI = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+
+
+def _q4_dN_ref(xi: float, eta: float) -> np.ndarray:
+    dN = np.empty((4, 2))
+    dN[:, 0] = _Q4_XI[:, 0] * (1.0 + _Q4_XI[:, 1] * eta) / 4.0
+    dN[:, 1] = _Q4_XI[:, 1] * (1.0 + _Q4_XI[:, 0] * xi) / 4.0
+    return dN
+
+
+def quad_geometry(
+    points: np.ndarray, quads: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Centroid (1-point) shape-function gradients and shoelace areas for
+    bilinear Q4 elements: grads (F, 4, 2), areas (F,). The single centroid
+    gauss point keeps the per-element-value operators (divergence, node
+    projection) structurally identical to the P1 path."""
+    p = points[quads]  # (F, 4, 2)
+    dN = _q4_dN_ref(0.0, 0.0)  # (4, 2)
+    J = np.einsum("ia,fib->fab", dN, p)  # (F, 2, 2), J[a,b]=∂x_b/∂ξ_a
+    # ∂ξ_a/∂x_b is the inverse of ∂x/∂ξ = Jᵀ (transpose matters for
+    # skewed elements)
+    Jinv = np.linalg.inv(np.swapaxes(J, 1, 2))
+    grads = np.einsum("ia,fab->fib", dN, Jinv)  # ∂N_i/∂x_b
+    areas = 0.5 * np.abs(
+        sum(
+            p[:, i, 0] * p[:, (i + 1) % 4, 1]
+            - p[:, (i + 1) % 4, 0] * p[:, i, 1]
+            for i in range(4)
+        )
+    )
+    return grads, areas
+
+
+def element_geometry(
+    points: np.ndarray, faces: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch on element type: (F,3)→P1 triangles, (F,4)→Q4 quads."""
+    if faces.shape[1] == 3:
+        return triangle_geometry(points, faces)
+    if faces.shape[1] == 4:
+        return quad_geometry(points, faces)
+    raise ValueError(f"unsupported element arity {faces.shape[1]}")
+
+
 def assemble_stiffness(
-    points: np.ndarray, tris: np.ndarray, D: np.ndarray
+    points: np.ndarray, faces: np.ndarray, D: np.ndarray
 ) -> sp.csr_matrix:
-    """Global stiffness, component-major dofs (x-dofs 0..N-1, y-dofs N..2N-1)."""
+    """Global stiffness, component-major dofs (x-dofs 0..N-1, y-dofs N..2N-1).
+
+    P1 triangles use the exact constant-gradient integral; Q4 quads use
+    full 2×2 Gauss integration (1-point would leave hourglass modes)."""
     n = len(points)
-    grads, areas = triangle_geometry(points, tris)
-    F = len(tris)
-    # B matrix per element: strain [exx, eyy, gxy] from local dofs
-    # [ux1,ux2,ux3, uy1,uy2,uy3]
-    B = np.zeros((F, 3, 6))
-    B[:, 0, 0:3] = grads[:, :, 0]
-    B[:, 1, 3:6] = grads[:, :, 1]
-    B[:, 2, 0:3] = grads[:, :, 1]
-    B[:, 2, 3:6] = grads[:, :, 0]
-    Ke = np.einsum("fki,kl,flj,f->fij", B, D, B, areas)  # (F, 6, 6)
-    dofs = np.concatenate([tris, tris + n], axis=1)  # (F, 6)
-    rows = np.repeat(dofs, 6, axis=1).ravel()
-    cols = np.tile(dofs, (1, 6)).ravel()
+    F = len(faces)
+    k = faces.shape[1]
+    if k == 3:
+        grads, areas = triangle_geometry(points, faces)
+        gp_list = [(grads, areas)]
+    else:
+        p = points[faces]  # (F, 4, 2)
+        g = 1.0 / np.sqrt(3.0)
+        gp_list = []
+        for xi, eta in [(-g, -g), (g, -g), (g, g), (-g, g)]:
+            dN = _q4_dN_ref(xi, eta)
+            J = np.einsum("ia,fib->fab", dN, p)
+            detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+            grads = np.einsum(
+                "ia,fab->fib", dN, np.linalg.inv(np.swapaxes(J, 1, 2))
+            )
+            gp_list.append((grads, detJ))  # gauss weight = 1
+    Ke = np.zeros((F, 2 * k, 2 * k))
+    for grads, w in gp_list:
+        # B per element: strain [exx, eyy, gxy] from [ux..., uy...]
+        B = np.zeros((F, 3, 2 * k))
+        B[:, 0, 0:k] = grads[:, :, 0]
+        B[:, 1, k:] = grads[:, :, 1]
+        B[:, 2, 0:k] = grads[:, :, 1]
+        B[:, 2, k:] = grads[:, :, 0]
+        Ke += np.einsum("fki,kl,flj,f->fij", B, D, B, w)
+    dofs = np.concatenate([faces, faces + n], axis=1)  # (F, 2k)
+    rows = np.repeat(dofs, 2 * k, axis=1).ravel()
+    cols = np.tile(dofs, (1, 2 * k)).ravel()
     K = sp.coo_matrix((Ke.ravel(), (rows, cols)), shape=(2 * n, 2 * n))
     return K.tocsr()
 
@@ -142,12 +208,14 @@ def gausspoint_to_node_matrix(
 ) -> sp.csr_matrix:
     """Area-weighted projection of per-element (1 gauss pt) values to nodes:
     node value = Σ_e A_e v_e / Σ_e A_e over incident elements — the
-    node-field projection fedoo's _get_gausspoint2node_mat performs."""
+    node-field projection fedoo's _get_gausspoint2node_mat performs.
+    Element-type agnostic (P1 triangles or Q4 quads)."""
     n = len(points)
-    _, areas = triangle_geometry(points, tris)
+    k = tris.shape[1]
+    _, areas = element_geometry(points, tris)
     rows = tris.ravel()
-    cols = np.repeat(np.arange(len(tris)), 3)
-    w = np.repeat(areas, 3)
+    cols = np.repeat(np.arange(len(tris)), k)
+    w = np.repeat(areas, k)
     M = sp.coo_matrix((w, (rows, cols)), shape=(n, len(tris))).tocsr()
     norm = np.asarray(M.sum(axis=1)).ravel()
     inv = sp.diags(1.0 / np.maximum(norm, 1e-300))
@@ -203,10 +271,12 @@ def _build_reduction(points2d: np.ndarray) -> _Reduction:
 def _fields_from_displacement(
     points2d: np.ndarray, tris: np.ndarray, u: np.ndarray, D: np.ndarray
 ) -> FEMResult:
-    """Element strain/stress + node projection + volume-mean stresses."""
+    """Element strain/stress + node projection + volume-mean stresses.
+    Element-type agnostic (P1: exact constant strain; Q4: centroid strain,
+    the conventional reduced-integration post-processing point)."""
     n = len(points2d)
-    grads, areas = triangle_geometry(points2d, tris)
-    ue = u[tris]  # (F, 3, 2)
+    grads, areas = element_geometry(points2d, tris)
+    ue = u[tris]  # (F, K, 2)
     dudx = np.einsum("fid,fig->fdg", ue, grads)  # (F, 2, 2) du_d/dx_g
     exx = dudx[:, 0, 0]
     eyy = dudx[:, 1, 1]

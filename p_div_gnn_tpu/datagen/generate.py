@@ -25,7 +25,11 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from p_div_gnn_tpu.datagen.mesher import hole_plate_mesh, is_periodic_mesh
+from p_div_gnn_tpu.datagen.mesher import (
+    hole_plate_mesh,
+    hole_plate_mesh_quad,
+    is_periodic_mesh,
+)
 from p_div_gnn_tpu.datagen.opdiv import (
     compute_op_div_matrix,
     compute_op_mean_stress,
@@ -113,7 +117,7 @@ def sample_parameters(
     ).T
 
 
-def split_train_test(data: np.ndarray, test_size: float, rng) -> tuple:
+def split_train_test(data: np.ndarray, test_size: float, rng: np.random.Generator) -> tuple:
     total = data.shape[0]
     n_test = int(total * test_size)
     remove = rng.choice(np.arange(total), size=n_test, replace=False)
@@ -122,7 +126,7 @@ def split_train_test(data: np.ndarray, test_size: float, rng) -> tuple:
     return train, test
 
 
-def generate_one_sample(args) -> pd.DataFrame | None:
+def generate_one_sample(args: tuple) -> pd.DataFrame | None:
     (
         row,
         index,
@@ -132,9 +136,11 @@ def generate_one_sample(args) -> pd.DataFrame | None:
         seed,
         hyperelastic,
         bc,
+        element,
     ) = args
     (sx, sy, sxy, cx, cy, radius, glob, holef) = row
-    mesh = hole_plate_mesh(
+    mesher = hole_plate_mesh if element == "tri" else hole_plate_mesh_quad
+    mesh = mesher(
         width=plate_wh,
         height=plate_wh,
         radius=radius,
@@ -232,6 +238,7 @@ def generate_and_save_samples(
     max_workers: int,
     hyperelastic: bool,
     bc: str = "dirichlet",
+    element: str = "tri",
 ) -> pd.DataFrame:
     meshes_folder = dataset_folder / "meshes"
     fields_folder = dataset_folder / "fields"
@@ -239,7 +246,7 @@ def generate_and_save_samples(
     fields_folder.mkdir(parents=True, exist_ok=False)
     tasks = [
         (row, i, plate_width_height, meshes_folder, fields_folder, seed,
-         hyperelastic, bc)
+         hyperelastic, bc, element)
         for i, row in enumerate(data)
     ]
     if max_workers and max_workers > 1:
@@ -259,11 +266,18 @@ def main(
     max_workers: int | None = None,
     hyperelastic: bool = False,
     bc: str = "dirichlet",
+    element: str = "tri",
 ) -> None:
     assert dataset_path, "Must specify dataset path"
     assert not (hyperelastic and bc != "dirichlet"), (
         "bc='neumann' is a linear-elastic capability (the reference defines "
         "it only in generate_dataset.py, not the hyperelastic generator)"
+    )
+    assert element in ("tri", "quad"), f"unknown element {element!r}"
+    assert not (hyperelastic and element == "quad"), (
+        "quad elements are a linear-elastic capability (the reference's "
+        "quad mesher, generate_dataset_hyperelast.py:106-161, is unused by "
+        "its own pipeline; our Q4 assembly covers the linear solvers)"
     )
     if max_workers is None:
         max_workers = multiprocessing.cpu_count()
@@ -280,6 +294,7 @@ def main(
         folder = Path(dataset_path) / kind
         folder.mkdir(parents=True, exist_ok=False)
         df = generate_and_save_samples(
-            part, plate_wh, folder, seed, max_workers, hyperelastic, bc=bc
+            part, plate_wh, folder, seed, max_workers, hyperelastic,
+            bc=bc, element=element,
         )
         df.to_csv((folder / "dataset.csv").as_posix(), index=False)

@@ -19,19 +19,22 @@ import numpy as np
 import scipy.sparse as sp
 
 from p_div_gnn_tpu.datagen.fem import (
+    element_geometry,
     gausspoint_to_node_matrix,
-    triangle_geometry,
 )
 
 
 def compute_op_div_matrix(
     points2d: np.ndarray, tris: np.ndarray
 ) -> sp.coo_matrix:
+    """Element-type agnostic: P1 triangles (3 cols/element) or Q4 quads
+    (4 cols/element, centroid gradients)."""
     n = len(points2d)
     f = len(tris)
-    grads, _ = triangle_geometry(points2d, tris)
+    k = tris.shape[1]
+    grads, _ = element_geometry(points2d, tris)
     # element-divergence operator: (F, 2N)
-    rows = np.repeat(np.arange(f), 3)
+    rows = np.repeat(np.arange(f), k)
     data_x = grads[:, :, 0].ravel()
     data_y = grads[:, :, 1].ravel()
     cols_x = tris.ravel()
@@ -53,8 +56,9 @@ def compute_op_mean_stress(points2d: np.ndarray, tris: np.ndarray) -> np.ndarray
     weight vector w with ``w·f = ∫f dV / V_box`` for a nodal field f,
     using the same nodal quadrature as the field integrals."""
     n = len(points2d)
-    _, areas = triangle_geometry(points2d, tris)
+    k = tris.shape[1]
+    _, areas = element_geometry(points2d, tris)
     w = np.zeros(n)
-    np.add.at(w, tris.ravel(), np.repeat(areas / 3.0, 3))
+    np.add.at(w, tris.ravel(), np.repeat(areas / k, k))
     box = points2d.max(0) - points2d.min(0)
     return w / float(box[0] * box[1])
