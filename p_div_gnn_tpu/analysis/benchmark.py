@@ -18,12 +18,15 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+from typing import Any, Callable
+
 import numpy as np
 import pandas as pd
 
 
 def benchmark_gnn(
-    apply_fn, params, batch, use_preprocessing: bool, rebuild
+    apply_fn: Any, params: Any, batch: Any, use_preprocessing: bool,
+    rebuild: Callable[[], Any],
 ) -> float:
     """`benchmark_gnn_fem.py:81-100`: synced wall time of one forward."""
     import jax
@@ -36,7 +39,8 @@ def benchmark_gnn(
     return time.perf_counter() - t0
 
 
-def benchmark_fem(points2d, tris, strains, hyperelastic: bool) -> float:
+def benchmark_fem(points2d: np.ndarray, tris: np.ndarray,
+                  strains: np.ndarray, hyperelastic: bool) -> float:
     t0 = time.perf_counter()
     if hyperelastic:
         from p_div_gnn_tpu.datagen.hyperelastic import (
@@ -155,7 +159,8 @@ def main(
     plot(data, out / "benchmark.pdf", hyperelastic)
 
 
-def plot(data: pd.DataFrame, output_file, hyperelastic: bool) -> None:
+def plot(data: pd.DataFrame, output_file: str,
+         hyperelastic: bool) -> None:
     """Log-scale wall-time plot (`benchmark_gnn_fem.py:418-482` /
     `plot_benchmark.py:23-76`, without the LaTeX text rendering)."""
     import matplotlib

@@ -20,6 +20,8 @@ import functools
 import json
 from pathlib import Path
 
+from typing import Any
+
 import numpy as np
 import pandas as pd
 
@@ -60,7 +62,7 @@ def build_div_matrix(data: dict) -> "object":
 
 
 def divergence_scalar(
-    stress: np.ndarray, div_mat, node_labels: np.ndarray
+    stress: np.ndarray, div_mat: Any, node_labels: np.ndarray
 ) -> float:
     """Training-loss twin: both boundary types zeroed, squared, node-mean,
     component-sum (`compare_results.py:647-673` / `gnn_train.py:60-92`)."""
@@ -79,7 +81,7 @@ def divergence_scalar(
 
 
 def divergence_norm_field(
-    stress: np.ndarray, div_mat, node_labels: np.ndarray
+    stress: np.ndarray, div_mat: Any, node_labels: np.ndarray
 ) -> np.ndarray:
     """Per-node |div| field for plotting; ONLY the external boundary is
     zeroed (`compare_results.py:122-141`)."""

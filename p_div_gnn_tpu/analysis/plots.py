@@ -10,6 +10,8 @@ matplotlib stands in for the reference's pyvista/VTK off-screen rendering
 
 from __future__ import annotations
 
+from typing import Any
+
 from pathlib import Path
 
 import numpy as np
@@ -28,8 +30,8 @@ def plot_field(
     title: str = "",
     output_file: str | Path | None = None,
     cmap: str = "viridis",
-    ax=None,
-):
+    ax: Any=None,
+) -> Any:
     """One scalar field on the mesh (counterpart of the pyvista panels)."""
     import matplotlib
 
@@ -58,7 +60,7 @@ def plot_sample_comparison(
     pred_stress: np.ndarray,
     div_field: np.ndarray | None = None,
     output_file: str | Path | None = None,
-):
+) -> None:
     """Multi-panel GT / prediction / abs-error (+divergence) figure
     (`compare_results.py:923-1054`)."""
     import matplotlib
@@ -95,7 +97,7 @@ def plot_periodic_mesh(
     node_labels: np.ndarray,
     output_file: str | Path | None = None,
     stub_fraction: float = 0.06,
-):
+) -> None:
     """Periodic-mesh illustration (C20, `plot_periodic_mesh.py:59-200`):
     mesh wireframe, nodes colored by NodeType, and dashed stubs indicating
     the virtual periodic links leaving each boundary node."""
@@ -145,8 +147,8 @@ def plot_fields_row(
     output_file: str | Path | None = None,
     clim: list | None = None,
     cmap: str = "jet",
-    axes=None,
-):
+    axes: Any=None,
+) -> None:
     """One 1×3 row of scalar fields with per-panel color limits — the
     matplotlib twin of the reference's pyvista row renderer
     (`compare_results.py:144-205`)."""
@@ -186,7 +188,7 @@ def plot_two_model_stress(
     baseline_name: str,
     proposed_name: str,
     output_file: str | Path,
-):
+) -> None:
     """3×3 cross-model stress figure (`plot_baseline_proposed_fem`,
     `compare_results.py:278-330`): baseline / proposed rows clamped to the
     FEM per-component color range, FEM row free."""
@@ -222,7 +224,7 @@ def plot_two_model_nmse(
     baseline_name: str,
     proposed_name: str,
     output_file: str | Path,
-):
+) -> None:
     """2×3 element-wise NMSE comparison
     (`plot_difference_baseline_proposed_fem`, `compare_results.py:208-253`):
     the proposed row is clamped to the baseline's per-component range so
@@ -260,7 +262,7 @@ def plot_two_model_divergence(
     baseline_name: str,
     proposed_name: str,
     output_file: str | Path,
-):
+) -> None:
     """1×3 divergence-norm field row, all panels on the FEM color range
     (`plot_baseline_proposed_fem_divergence_fields`,
     `compare_results.py:256-275`)."""
@@ -287,7 +289,7 @@ def plot_two_histograms(
     title: str,
     output_file: str | Path,
     bins: int = 50,
-):
+) -> None:
     """Overlaid per-component stress distributions
     (`plot_two_histograms`, used by `compare_results.py:1004-1046`)."""
     import matplotlib

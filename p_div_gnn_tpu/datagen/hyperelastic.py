@@ -259,7 +259,7 @@ def solve_periodic_rve_neohookean(
 
 def deformed_op_div_matrix(
     points2d: np.ndarray, tris: np.ndarray, displacement: np.ndarray
-):
+) -> sp.coo_matrix:
     """Divergence operator on the DEFORMED configuration
     (`generate_dataset_hyperelast.py:352`)."""
     from p_div_gnn_tpu.datagen.opdiv import compute_op_div_matrix

@@ -10,6 +10,8 @@ fused jit region.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 
@@ -154,7 +156,7 @@ def partitioned_batch_loss(
     batch: GraphBatch,
     prediction: jax.Array,
     ground_truth: jax.Array,
-    halo,
+    halo: Any,
     axis_name: str,
     divergence_penalty: float = 0.0,
     optimize_divergence: bool = False,

@@ -9,6 +9,8 @@ torch Linears).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -17,7 +19,7 @@ from p_div_gnn_tpu.ops.layernorm import masked_graph_layernorm
 from p_div_gnn_tpu.utils.precision import matmul_precision
 
 
-def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+def torch_linear_kernel_init(key: jax.Array, shape: tuple, dtype: Any=jnp.float32) -> jax.Array:
     fan_in = shape[0]
     bound = 1.0 / jnp.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)

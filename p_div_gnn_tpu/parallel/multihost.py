@@ -22,6 +22,8 @@ uses) and pins the 2-process x 2-device step to the single-process
 
 from __future__ import annotations
 
+from typing import Any
+
 import os
 
 import jax
@@ -79,7 +81,7 @@ def pack_global_batch(
     graphs_per_shard: int | None = None,
     axis: str = "data",
     tile: int = 128,
-):
+) -> Any:
     """Pack ``samples`` (the SAME full list on every process — cheap host
     work, deterministic) into one shard per global device, then build
     global arrays where this process contributes only its own devices'

@@ -9,6 +9,8 @@ distinct compiled programs stays small across epochs.
 
 from __future__ import annotations
 
+from typing import Any
+
 import queue
 import threading
 from typing import Iterator
@@ -180,7 +182,7 @@ class GraphLoader:
             self._device_cache = batches
 
 
-def prefetch(loader, depth: int = 2) -> Iterator[GraphBatch]:
+def prefetch(loader: Any, depth: int = 2) -> Iterator[GraphBatch]:
     """Overlap host packing + host→device transfer with device compute by
     producing batches on a background thread (depth-bounded queue). The
     device-side transfer is issued from the worker via jax.device_put, so

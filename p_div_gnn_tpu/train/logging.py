@@ -10,6 +10,8 @@ package is importable.
 
 from __future__ import annotations
 
+from typing import Any
+
 import json
 import time
 from pathlib import Path
@@ -41,7 +43,7 @@ class MetricsWriter:
         if self._tb is not None:
             self._tb.add_text(tag, text)
 
-    def add_histogram(self, tag: str, values, step: int = 0) -> None:
+    def add_histogram(self, tag: str, values: Any, step: int = 0) -> None:
         import numpy as np
 
         v = np.asarray(values, dtype=float)

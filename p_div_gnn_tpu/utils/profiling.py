@@ -4,6 +4,8 @@ a device-synced timing helper with compile-cache awareness)."""
 
 from __future__ import annotations
 
+from typing import Any
+
 import contextlib
 import time
 from typing import Callable
@@ -12,7 +14,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/pdg_trace"):
+def trace(log_dir: str = "/tmp/pdg_trace") -> Any:
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
     jax.profiler.start_trace(log_dir)
     try:
@@ -23,10 +25,10 @@ def trace(log_dir: str = "/tmp/pdg_trace"):
 
 def timeit(
     fn: Callable,
-    *args,
+    *args: Any,
     iters: int = 20,
     warmup: int = 1,
-    **kwargs,
+    **kwargs: Any,
 ) -> dict[str, float]:
     """Device-synced wall time of fn(*args): compile excluded by warmup,
     result blocked via block_until_ready (the TPU analog of the reference's
@@ -42,7 +44,7 @@ def timeit(
     return {"mean_s": total / iters, "total_s": total, "iters": iters}
 
 
-def compiled_stats(fn, *args) -> dict[str, float]:
+def compiled_stats(fn: Any, *args: Any) -> dict[str, float]:
     """FLOP/memory estimates from XLA's cost analysis of the lowered fn."""
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
