@@ -226,12 +226,16 @@ class Processor(nn.Module):
                 jnp.bfloat16 if self.stream_dtype == "bfloat16"
                 else jnp.float32
             )
-            if batch.snd_perm is not None and halo is None:
+            if batch.snd_perm is not None:
                 # BOTH sender gathers through one custom-vjp pair whose
                 # backward scatters the two cotangent streams in ONE
                 # kernel traversal (ops/gather.sender_gather_pair) — the
                 # per-block fixed cost dominates the scatter, so merging
-                # halves it vs two sender_gather calls.
+                # halves it vs two sender_gather calls. Under a halo the
+                # partitioned planner builds the sender view over the
+                # extended [local ++ ghost] space (partition_batch), so
+                # the same fast path covers partitioned execution; ghost
+                # cotangent rows flow on through the collective's VJP.
                 from p_div_gnn_tpu.ops.gather import sender_gather_pair
 
                 g_v, g_u = sender_gather_pair(
@@ -274,7 +278,6 @@ class Processor(nn.Module):
             if (
                 self.scatter_impl == "hybrid"
                 and batch.snd_perm is not None
-                and halo is None
             ):
                 # XLA forward (fast: big dense MLP matmuls + sorted-receiver
                 # segment sums) with ONLY the sender-gather VJPs swapped for
