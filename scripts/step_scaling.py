@@ -21,12 +21,17 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent cache (env var is a no-op under the axon sitecustomize —
+# see p_div_gnn_tpu/utils/cache.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from p_div_gnn_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import jax
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
