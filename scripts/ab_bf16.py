@@ -62,6 +62,16 @@ def main() -> None:
             if (seed, sd) in done:
                 continue
             folder = Path(args.runs_root) / f"{sd}_s{seed}"
+            # tunnel-stall tolerance (scripts/ab_watchdog.sh restarts a
+            # wedged sweep): resume a partially-trained run from its
+            # last-epoch checkpoint; a folder with no checkpoint yet is a
+            # pre-first-epoch casualty — start it over
+            from p_div_gnn_tpu.train.checkpoint import LAST_CHECKPOINT
+            if folder.exists() and not (
+                folder / "weights" / LAST_CHECKPOINT
+            ).exists():
+                import shutil
+                shutil.rmtree(folder)
             t0 = time.perf_counter()
             train_losses, test_losses = run_experience(
                 dataset_train_csv=f"{args.data}/train/dataset.csv",
@@ -79,6 +89,7 @@ def main() -> None:
                 scatter_impl="fused",
                 stream_dtype=sd,
                 seed=seed,
+                resume=True,
             )
             rows.append({
                 "seed": seed,
