@@ -22,6 +22,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def train_main(argv: list[str] | None = None) -> None:
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-train")
     p.add_argument("--config_path", required=True)
     p.add_argument(
@@ -36,6 +39,9 @@ def train_main(argv: list[str] | None = None) -> None:
 
 
 def infer_main(argv: list[str] | None = None) -> None:
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-infer")
     p.add_argument("--config_path", required=True)
     args = p.parse_args(argv)
@@ -45,6 +51,9 @@ def infer_main(argv: list[str] | None = None) -> None:
 
 
 def generate_main(argv: list[str] | None = None) -> None:
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-generate")
     p.add_argument("--n_samples", type=int, default=1000)
     p.add_argument("--test_size", type=float, default=0.25)
@@ -84,6 +93,9 @@ def generate_main(argv: list[str] | None = None) -> None:
 
 
 def benchmark_main(argv: list[str] | None = None) -> None:
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-benchmark")
     p.add_argument("--csv_data_filename", default=None)
     p.add_argument("--hyperelastic", action="store_true")
@@ -101,6 +113,9 @@ def benchmark_main(argv: list[str] | None = None) -> None:
 
 
 def compare_main(argv: list[str] | None = None) -> None:
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-compare")
     p.add_argument("--dataset_csv", required=True)
     p.add_argument(
@@ -124,6 +139,9 @@ def compare_main(argv: list[str] | None = None) -> None:
 
 def scaling_main(argv: list[str] | None = None) -> None:
     """DP weak-scaling efficiency report (north-star metric harness)."""
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     p = argparse.ArgumentParser(prog="pdg-scaling")
     p.add_argument("--graphs_per_device", type=int, default=4)
     p.add_argument("--latent_size", type=int, default=128)

@@ -63,6 +63,13 @@ class Trainer:
     # to the metrics writer ("Steps skipped (nonfinite)").
     skip_nonfinite_updates: bool = False
     _max_consecutive_nonfinite: int = 100
+    # optax.flatten(adam): run the Adam update over ONE concatenated
+    # parameter vector instead of ~30 small per-leaf fusions — fewer
+    # kernel launches in the glue tail of the train step. Numerically
+    # identical updates (pinned by tests); opt-in because it changes the
+    # opt-state pytree, making checkpoints non-interchangeable with the
+    # unflattened layout.
+    flatten_optimizer: bool = False
 
     def _nonfinite_abort_check(
         self, params, opt_state, weights_folder: Path, epoch: int
@@ -95,6 +102,8 @@ class Trainer:
         # (`gnn_train.py:118`); optax.adam matches bias correction + eps
         # placement (outside the sqrt).
         self.optimizer = optax.adam(self.learning_rate)
+        if self.flatten_optimizer:
+            self.optimizer = optax.flatten(self.optimizer)
         if self.skip_nonfinite_updates:
             self.optimizer = optax.apply_if_finite(
                 self.optimizer,

@@ -204,7 +204,9 @@ def run_experience(
 
 def main(config_path: str, resume_override: bool | None = None) -> None:
     from p_div_gnn_tpu.utils.cache import enable_persistent_cache
+    from p_div_gnn_tpu.utils.platform import honor_platform_env
 
+    honor_platform_env()
     enable_persistent_cache()
     with open(config_path) as fh:
         params = yaml.safe_load(fh)

@@ -23,12 +23,21 @@ REPO_CACHE = Path(__file__).resolve().parent.parent.parent / ".jax_cache"
 
 
 def enable_persistent_cache(path: str | os.PathLike | None = None) -> Path:
-    """Activate the persistent compilation cache at ``path`` (default: the
-    in-repo cache). Must be called AFTER jax import (any time before the
-    first compile of interest); safe to call repeatedly."""
+    """Activate the persistent compilation cache at ``path``. Must be
+    called AFTER jax import (any time before the first compile of
+    interest); safe to call repeatedly.
+
+    Default location splits by backend: TPU compiles go to the committed
+    in-repo cache (they are the expensive ones the driver needs warm);
+    CPU compiles (tests, virtual-mesh runs, local verification) go to
+    /tmp so they never bloat the repository."""
     import jax
 
-    cache_dir = Path(path or os.environ.get("PDG_CACHE_DIR") or REPO_CACHE)
+    default = (
+        REPO_CACHE if jax.default_backend() == "tpu"
+        else Path("/tmp/jax_cache_cpu")
+    )
+    cache_dir = Path(path or os.environ.get("PDG_CACHE_DIR") or default)
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

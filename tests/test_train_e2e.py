@@ -198,3 +198,43 @@ def test_skip_nonfinite_updates(tmp_path):
     assert not np.array_equal(
         np.asarray(jax.tree.leaves(params)[0]), np.asarray(p_before)
     )
+
+
+def test_flatten_optimizer_identical_updates():
+    """Trainer(flatten_optimizer=True) — optax.flatten(adam) over one
+    concatenated vector — must produce bit-compatible parameter updates
+    with the per-leaf Adam (it is a glue-fusion lever, not a numerics
+    change)."""
+    import jax
+    import numpy as np
+
+    from p_div_gnn_tpu.graphs import pack_batch
+    from p_div_gnn_tpu.graphs.container import NormStats
+    from p_div_gnn_tpu.models import EncodeProcessDecode
+    from p_div_gnn_tpu.train.loop import Trainer
+    from test_model import _mesh_sample, STATS
+
+    batch = pack_batch([_mesh_sample(3, nx=4)], n_graphs=1)
+    model = EncodeProcessDecode(latent_size=8, message_passing_steps=2)
+    t_ref = Trainer(model=model, stats=STATS, learning_rate=1e-3,
+                    divergence_penalty=10.0, optimize_divergence=True)
+    t_flat = Trainer(model=model, stats=STATS, learning_rate=1e-3,
+                     divergence_penalty=10.0, optimize_divergence=True,
+                     flatten_optimizer=True)
+    params, opt_ref = t_ref.init(jax.random.PRNGKey(0), batch)
+    _, opt_flat = t_flat.init(jax.random.PRNGKey(0), batch)
+    # the train steps donate their (params, opt_state) buffers — each
+    # trainer needs its own device copy
+    import jax.numpy as jnp
+
+    p_ref = jax.tree.map(jnp.array, params)
+    p_flat = jax.tree.map(jnp.array, params)
+    for _ in range(3):
+        p_ref, opt_ref, aux_r = t_ref._train_step(p_ref, opt_ref, batch)
+        p_flat, opt_flat, aux_f = t_flat._train_step(p_flat, opt_flat, batch)
+    np.testing.assert_allclose(
+        float(aux_r["total"]), float(aux_f["total"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
