@@ -55,6 +55,12 @@ def _round_up(x: int, m: int) -> int:
 # HBM-bound) — larger blocks trade padding for ~linearly fewer grid steps.
 # Env-tunable for experiments; layouts and kernels share this constant.
 EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "128"))
+# Node tile size for the block-aligned CSR layout and the one-hot MXU
+# gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
+# (a tile's edge run is padded to a block multiple, so more edges per tile
+# → relatively less round-up waste) at the cost of wider one-hot
+# contractions (per-edge gather/scatter FLOPs scale with NODE_TILE).
+NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "128"))
 # Sender-view padding: snd_perm padding slots point at edge slot 0 (a VALID
 # index, so the cotangent permutation runs as an UNGUARDED gather — XLA's
 # guarded mode="fill" gather measured ~15% slower on the flagship workload),
@@ -72,7 +78,7 @@ def blockify_edges(
     edge_gid: np.ndarray,
     num_nodes: int,
     n_graphs: int,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     edge_block: int = EDGE_BLOCK,
     min_capacity: int = 0,
 ) -> tuple[np.ndarray, ...]:
@@ -141,7 +147,7 @@ def blockify_edges_pair(
     edge_gid: np.ndarray,
     num_nodes: int,
     n_graphs: int,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     edge_block: int = EDGE_BLOCK,
     min_capacity: int = 0,
 ) -> tuple[np.ndarray, ...]:
@@ -220,7 +226,7 @@ def blockify_edges_pair(
 def build_sender_view(
     senders: np.ndarray,
     num_nodes: int,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     edge_block: int = EDGE_BLOCK,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sender-major blockified view of an edge layout: edge slots re-sorted
@@ -268,7 +274,7 @@ def pad_sender_view(
     snd_block_tile: np.ndarray,
     target_capacity: int,
     num_nodes: int,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     edge_block: int = EDGE_BLOCK,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Grow a sender view to a common capacity (whole padding blocks on the
@@ -445,7 +451,7 @@ def pack_batch(
     pad_nodes: int | None = None,
     pad_edges: int | None = None,
     pad_div: int | None = None,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     node_buckets: tuple[int, ...] | None = None,
     edge_buckets: tuple[int, ...] | None = None,
     pair_blocks: bool = False,

@@ -39,9 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
+from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, NODE_TILE
 
-NODE_TILE = 128
 _PREC = jax.lax.Precision.HIGHEST
 
 

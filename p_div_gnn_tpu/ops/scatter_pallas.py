@@ -34,9 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK  # single source of truth
-
-NODE_TILE = 128
+# single source of truth for the layout constants (env-tunable)
+from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, NODE_TILE
 
 
 def _maybe_interpret():

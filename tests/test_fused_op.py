@@ -196,8 +196,8 @@ def test_pair_layout_preserves_edges():
         else:
             canon_keys = np.sort(key)
     np.testing.assert_array_equal(pair_keys, canon_keys)
-    rt = np.asarray(pair.receivers).reshape(-1, EDGE_BLOCK) // 128
-    st = np.asarray(pair.senders).reshape(-1, EDGE_BLOCK) // 128
+    rt = np.asarray(pair.receivers).reshape(-1, EDGE_BLOCK) // pair.tile
+    st = np.asarray(pair.senders).reshape(-1, EDGE_BLOCK) // pair.tile
     assert (rt == rt[:, :1]).all() and (st == st[:, :1]).all()
     np.testing.assert_array_equal(rt[:, 0], np.asarray(pair.edge_block_tile))
     np.testing.assert_array_equal(
