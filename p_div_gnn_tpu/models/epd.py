@@ -116,6 +116,7 @@ class Processor(nn.Module):
         batch: GraphBatch,
         axis_name: str | None = None,
         halo: Halo | None = None,
+        deg: jax.Array | None = None,  # (Np, 1) real in-degree (hoisted)
     ) -> tuple[jax.Array, jax.Array]:
         L = self.latent_size
 
@@ -200,10 +201,11 @@ class Processor(nn.Module):
             a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
             m2, s2 = moments_from_partials(m[2], m[3], edge_mask, axis_name)
             a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
-            deg = segment_sum(
-                edge_mask.astype(jnp.float32)[:, None], rcv, Np,
-                indices_are_sorted=False,
-            )
+            if deg is None:
+                deg = segment_sum(
+                    edge_mask.astype(jnp.float32)[:, None], rcv, Np,
+                    indices_are_sorted=False,
+                )
             aggr = r_raw * a1 + deg * b1
             new_e = (z_upd * a2 + b2) * edge_mask[:, None]
         elif use_fused:
@@ -262,7 +264,10 @@ class Processor(nn.Module):
             a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
             m2, s2 = moments_from_partials(m[2], m[3], edge_mask, axis_name)
             a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
-            deg = segment_sum(edge_mask.astype(jnp.float32)[:, None], rcv, Np)
+            if deg is None:
+                deg = segment_sum(
+                    edge_mask.astype(jnp.float32)[:, None], rcv, Np
+                )
             aggr = r_raw * a1 + deg * b1
             new_e = (z_upd * a2 + b2) * edge_mask[:, None]
         else:
@@ -397,12 +402,26 @@ class EncodeProcessDecode(nn.Module):
             self.latent_size, scatter_impl=self.scatter_impl,
             stream_dtype=self.stream_dtype, name="processor"
         )
+        # The lazy-LN fold's per-node real in-degree is the same every MP
+        # step; hoisting it out of the scan removes one (Ep,)-sized
+        # segment-sum per step (it is NOT reliably loop-invariant-code-
+        # motioned out of the scanned/rematerialized body by XLA).
+        deg = None
+        if self.scatter_impl in ("fused", "fused2"):
+            from p_div_gnn_tpu.ops.segment import segment_sum
+
+            deg = segment_sum(
+                batch.edge_mask.astype(jnp.float32)[:, None],
+                batch.receivers, x.shape[0],
+                indices_are_sorted=batch.edge_block_snd_tile is None,
+            )
         if self.unroll_steps:
             for _ in range(self.message_passing_steps):
-                x, e = processor(x, e, batch, axis_name, halo)
+                x, e = processor(x, e, batch, axis_name, halo, deg)
         else:
             def body(mdl, carry, _):
-                return mdl(carry[0], carry[1], batch, axis_name, halo), None
+                return mdl(carry[0], carry[1], batch, axis_name, halo,
+                           deg), None
 
             if self.remat_steps:
                 body = nn.remat(body, prevent_cse=False)

@@ -26,7 +26,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from p_div_gnn_tpu.graphs.batching import GraphSample, pack_batch
+from p_div_gnn_tpu.graphs.batching import NODE_TILE, GraphSample, pack_batch
 from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
 from p_div_gnn_tpu.losses import batch_loss
 
@@ -35,7 +35,7 @@ def pack_sharded_batch(
     samples: list[GraphSample],
     n_shards: int,
     graphs_per_shard: int | None = None,
-    tile: int = 128,
+    tile: int = NODE_TILE,
 ) -> GraphBatch:
     """Pack samples into ``n_shards`` equal-capacity local batches stacked
     on a leading shard axis (round-robin assignment by size for balance)."""

@@ -29,6 +29,7 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from p_div_gnn_tpu.graphs.batching import NODE_TILE
 from p_div_gnn_tpu.graphs.container import GraphBatch, NormStats
 from p_div_gnn_tpu.losses import partitioned_batch_loss
 from p_div_gnn_tpu.models.epd import Halo
@@ -41,7 +42,7 @@ def _round_up(x: int, m: int) -> int:
 def partition_batch(
     batch: GraphBatch,
     n_shards: int,
-    tile: int = 128,
+    tile: int = NODE_TILE,
     halo_mode: str = "a2a",
 ) -> tuple[GraphBatch, np.ndarray]:
     """Split a packed (unsharded) GraphBatch into ``n_shards`` node-range

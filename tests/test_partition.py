@@ -34,7 +34,12 @@ def _reassemble(local_pred: np.ndarray, batch, n_shards: int) -> np.ndarray:
     Np = batch.num_nodes_padded
     per = local_pred.shape[1]
     out = np.zeros((Np, local_pred.shape[-1]), np.float32)
-    tile_per = ((Np + n_shards - 1) // n_shards + 127) // 128 * 128
+    from p_div_gnn_tpu.graphs.batching import NODE_TILE
+
+    tile_per = (
+        ((Np + n_shards - 1) // n_shards + NODE_TILE - 1)
+        // NODE_TILE * NODE_TILE
+    )
     for d in range(n_shards):
         lo = d * tile_per
         hi = min(lo + tile_per, Np)
