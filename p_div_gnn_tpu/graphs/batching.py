@@ -50,17 +50,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 # Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
-# The TPU grid is sequential, so per-block overhead × n_blocks is a real
-# cost floor (roofline.json: the flagship step is overhead-bound, not
-# HBM-bound) — larger blocks trade padding for ~linearly fewer grid steps.
-# Env-tunable for experiments; layouts and kernels share this constant.
-EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "128"))
+# Round-4 default 768×256 (block × tile): the measured optimum of the
+# on-chip layout sweep (docs/evidence/block_sweep.json + train_combo.json
+# — 166.9 ms vs 183.4 ms at the r3 128×128 layout; larger blocks cut
+# per-grid-step overhead 10-18%, while RCM keeps the tile-run round-up
+# waste at <1%). Env-tunable for experiments; layouts and kernels share
+# these constants.
+EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "768"))
 # Node tile size for the block-aligned CSR layout and the one-hot MXU
 # gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
 # (a tile's edge run is padded to a block multiple, so more edges per tile
 # → relatively less round-up waste) at the cost of wider one-hot
 # contractions (per-edge gather/scatter FLOPs scale with NODE_TILE).
-NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "128"))
+NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "256"))
 # Sender-view padding: snd_perm padding slots point at edge slot 0 (a VALID
 # index, so the cotangent permutation runs as an UNGUARDED gather — XLA's
 # guarded mode="fill" gather measured ~15% slower on the flagship workload),
@@ -486,6 +488,10 @@ def pack_batch(
     Ep = pad_edges if pad_edges is not None else _bucket(
         max(tot_edges, 1), 512, edge_buckets
     )
+    # the block-aligned CSR layout needs a whole number of EDGE_BLOCKs;
+    # callers' capacities (bucket ladders, edges_per_node products) are
+    # normalized here so every layout's min_capacity check holds
+    Ep = _round_up(Ep, EDGE_BLOCK)
     Kp = pad_div if pad_div is not None else _bucket(max(tot_div, 1), 512, None)
     assert Np > tot_nodes, "need at least one padding node"
     assert Ep >= tot_edges and Kp >= tot_div

@@ -18,6 +18,7 @@ from typing import Iterator
 import numpy as np
 
 from p_div_gnn_tpu.graphs.batching import (
+    NODE_TILE,
     GraphSample,
     default_node_buckets,
     pack_batch,
@@ -32,7 +33,7 @@ class GraphLoader:
         batch_size: int,
         shuffle: bool = False,
         seed: int = 0,
-        tile: int = 128,
+        tile: int = NODE_TILE,
         edges_per_node: int = 8,
         div_per_node: int = 16,
         cache_device_batches: bool | None = None,
@@ -94,7 +95,11 @@ class GraphLoader:
         from p_div_gnn_tpu.graphs.batching import _bucket
 
         pad_nodes = _bucket(tot_nodes, self.tile, self.node_buckets)
-        pad_edges = self.edges_per_node * pad_nodes
+        from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, _round_up
+
+        # EDGE_BLOCK-align so the ladder capacity matches what pack_batch
+        # will actually allocate (it rounds Ep up to whole blocks)
+        pad_edges = _round_up(self.edges_per_node * pad_nodes, EDGE_BLOCK)
         pad_div = self.div_per_node * pad_nodes
         # safety: densities above the cap fall back to content-driven pads
         tot_edges = sum(s.num_edges for s in batch_samples)

@@ -198,7 +198,9 @@ def test_pack_batch_shapes_and_masks():
     assert np.all(tp % EDGE_BLOCK == 0)
     for t in range(len(tp) - 1):
         seg = rcv[tp[t] : tp[t + 1]]
-        assert np.all((seg >= t * 128) & (seg < (t + 1) * 128))
+        assert np.all(
+            (seg >= t * batch.tile) & (seg < (t + 1) * batch.tile)
+        )
         assert (tp[t + 1] - tp[t]) >= EDGE_BLOCK  # every tile covered
     # block→tile map consistent with tile_ptr
     bt = np.asarray(batch.edge_block_tile)
