@@ -160,7 +160,9 @@ class Processor(nn.Module):
         else:
             proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
             proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
-        if self.scatter_impl != "fused2":  # fused2 projects e in-kernel
+        if self.scatter_impl not in ("fused", "fused2"):
+            # the fused kernels project e in-kernel (the (Ep, L) ep stream
+            # never exists in HBM); the dense XLA paths share one e @ We
             e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
         use_fused = self.scatter_impl in ("fused", "fused2")
@@ -247,12 +249,13 @@ class Processor(nn.Module):
             else:
                 g_v, g_u = proj_v[snd], proj_u[snd]
             # the raw streams go straight into the kernel — the per-edge
-            # first-layer sums (gather + e-proj + b0) form in-kernel, so
-            # the two (Ep, L) s-streams are never materialized in HBM
+            # first-layer sums (gathers + e @ We + b0) form in-kernel, so
+            # neither the two (Ep, L) s-streams nor the ep stream are ever
+            # materialized in HBM
             z_upd, r_raw, m = fused_edge_step(
                 proj_u[:Np].astype(sd), proj_v[:Np].astype(sd),
-                g_v.astype(sd), g_u.astype(sd), e_proj.astype(sd),
-                edge_b0.astype(sd),
+                g_v.astype(sd), g_u.astype(sd), e.astype(sd),
+                w_e.astype(sd), edge_b0.astype(sd),
                 edge_lin1_k.astype(sd), edge_lin1_b.astype(sd),
                 rcv, aux, G,
             )

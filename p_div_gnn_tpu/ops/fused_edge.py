@@ -138,17 +138,18 @@ def _maybe_interpret():
 
 
 def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
-                 ep_ref, rcv_ref, gid_ref, w2_ref, b01_ref,
+                 e_ref, rcv_ref, gid_ref, we_ref, w2_ref, b01_ref,
                  z_upd_ref, r_ref, m_ref, *, n_graphs: int):
-    # dtype-generic: streams (a/g/ep/w2/z_upd) may be bf16 (speed mode,
+    # dtype-generic: streams (a/g/e/w2/z_upd) may be bf16 (speed mode,
     # halved HBM traffic) or fp32 (parity mode); all MXU contractions
     # accumulate fp32 and the R/M accumulators stay fp32 either way.
     # fp32 mode uses the 3-pass split formulations (see module header)
     # instead of Mosaic's 6-pass HIGHEST.
     # The per-edge first-layer sums s_* = gather + e-proj + b0 are formed
-    # IN-KERNEL from the raw streams (g_v, g_u, ep) — XLA never
-    # materializes the two (Ep, L) s-streams (saves ~810 MB/step of
-    # fusion traffic at the flagship workload).
+    # IN-KERNEL from the raw streams (g_v, g_u) and the RAW edge latents
+    # (the e @ We projection happens here too, round-4) — XLA never
+    # materializes the two (Ep, L) s-streams nor the (Ep, L) ep stream
+    # (saves ~1.1 GB/step of fusion traffic at the flagship workload).
     dt = g_v_ref.dtype
     b = pl.program_id(0)
     tile = block_tile_ref[b]
@@ -173,9 +174,8 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
         )
         mm_w = lambda h, w: _dot_default(h.astype(dt), w, ((1,), (0,)))
 
-    base_e = ep_ref[:, :].astype(jnp.float32) + b01_ref[0, :].astype(
-        jnp.float32
-    )
+    ep = mm_w(e_ref[:, :], we_ref[:, :])  # in-kernel e-projection
+    base_e = ep + b01_ref[0, :].astype(jnp.float32)
 
     def edge_mlp(a_ref, g_ref):
         a_rows = mm_gather(a_ref[:, :])
@@ -220,13 +220,14 @@ def _step_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
         m_ref[:, :] = m_ref[:, :] + m_contrib
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
 def fused_edge_step(
     a_u: jax.Array,  # (Np, L) receiver-slot projection for messages
     a_v: jax.Array,  # (Np, L) receiver-slot projection for the edge update
     g_v: jax.Array,  # (Ep, L) sender gather of proj_v (message path)
     g_u: jax.Array,  # (Ep, L) sender gather of proj_u (edge-update path)
-    ep: jax.Array,  # (Ep, L) edge-latent projection e @ W_e (shared)
+    e: jax.Array,  # (Ep, L) RAW edge latents (projected in-kernel)
+    w_e: jax.Array,  # (L, L) edge-slot first-layer weight
     b0: jax.Array,  # (L,) edge-net first-layer bias
     w2: jax.Array,  # (L, L)
     b2: jax.Array,  # (L,)
@@ -236,12 +237,14 @@ def fused_edge_step(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (z_upd (Ep, L), R (Np, L) raw message scatter, M (8, L)
     per-lane moment partials [Σz_msg, Σz_msg², Σz_upd, Σz_upd², 0...]).
-    The first-layer sums (gather + e-proj + b0) form in-kernel."""
-    return _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
-                         aux, n_graphs)
+    The first-layer sums (gathers + e @ We + b0) form in-kernel — the
+    shared e-projection never exists in HBM (round-4: saves the XLA
+    matmul plus an (Ep, L) stream round-trip per MP step each way)."""
+    return _step_forward(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2,
+                         receivers, aux, n_graphs)
 
 
-def _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
+def _step_forward(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, aux,
                   n_graphs):
     edge_gid, block_tile = aux
     Ep, L = g_v.shape
@@ -271,6 +274,8 @@ def _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -296,32 +301,32 @@ def _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
                 dimension_semantics=("arbitrary",),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=2 * Ep * L * (3 * NODE_TILE + 2 * L),
+                flops=2 * Ep * L * (3 * NODE_TILE + 3 * L),
                 bytes_accessed=Ep * L * 16 + Ep * 8
                 + n_blocks * NODE_TILE * L * 8,
                 transcendentals=0,
             ),
         )
         return call(
-            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, ep, rcv2d,
-            gid2d, w2, b01,
+            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, e, rcv2d,
+            gid2d, w_e, w2, b01,
         )
 
 
 def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
-                     ep_ref, z_upd_ref, dz_upd_ref, dr_ref, dm_ref,
-                     rcv_ref, gid_ref, w2_ref, b01_ref,
-                     dg_v_ref, dg_u_ref, dep_ref, da_u_ref, da_v_ref,
+                     e_ref, z_upd_ref, dz_upd_ref, dr_ref, dm_ref,
+                     rcv_ref, gid_ref, we_ref, w2_ref, b01_ref,
+                     dg_v_ref, dg_u_ref, de_ref, da_u_ref, da_v_ref,
                      dwb_ref, *, n_graphs: int):
-    """One-pass backward: recomputes z_msg/h from the streamed inputs,
-    gathers the scatter cotangent dR[rcv] as the transposed one-hot
-    contraction, adds the moment-partial cotangents, and back-propagates
-    through both edge MLPs. Emits the raw-stream cotangents directly
-    (dg_v = dpre1, dg_u = dpre2, dep = dpre1 + dpre2). Per-tile dA
-    accumulators are revisited blocks (grid-consecutive by the
-    block-aligned CSR layout); dW2/db2/db0 accumulate in one revisited
-    (L+8, L) block — the TPU grid is sequential so read-modify-write is
-    safe."""
+    """One-pass backward: recomputes z_msg/h from the streamed inputs
+    (incl. the in-kernel e-projection), gathers the scatter cotangent
+    dR[rcv] as the transposed one-hot contraction, adds the moment-partial
+    cotangents, and back-propagates through both edge MLPs. Emits the
+    raw-stream cotangents directly (dg_v = dpre1, dg_u = dpre2,
+    de = (dpre1 + dpre2) @ We^T). Per-tile dA accumulators are revisited
+    blocks (grid-consecutive by the block-aligned CSR layout);
+    dW2/db2/db0/dWe accumulate in one revisited (2L+8, L) block — the TPU
+    grid is sequential so read-modify-write is safe."""
     dt = g_v_ref.dtype
     b = pl.program_id(0)
     tile = block_tile_ref[b]
@@ -349,9 +354,8 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
             x.astype(dt), y.astype(dt), dims
         )
 
-    base_e = ep_ref[:, :].astype(jnp.float32) + b01_ref[0, :].astype(
-        jnp.float32
-    )
+    ep = mm(e_ref[:, :], we_ref[:, :], ((1,), (0,)))
+    base_e = ep + b01_ref[0, :].astype(jnp.float32)
     b2 = b01_ref[1, :].astype(jnp.float32)
 
     # --- message path (z_msg recomputed; it was never written in fwd; the
@@ -387,7 +391,7 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
     dpre_sum = dpre1 + dpre2
     dg_v_ref[:, :] = dpre1.astype(dt)
     dg_u_ref[:, :] = dpre2.astype(dt)
-    dep_ref[:, :] = dpre_sum.astype(dt)
+    de_ref[:, :] = mm(dpre_sum, we_ref[:, :], ((1,), (1,))).astype(dt)
 
     da_u = mm_scatter(dpre1)
     da_v = mm_scatter(dpre2)
@@ -406,8 +410,9 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
     dw2 = mm(h1, dy1, ((0,), (0,))) + mm(h2, dy2, ((0,), (0,)))
     db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
     db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
+    dwe = mm(e_ref[:, :], dpre_sum, ((0,), (0,)))
     zero = jnp.zeros((6, L), jnp.float32)
-    dwb = jnp.concatenate([dw2, db2, db0, zero], axis=0)
+    dwb = jnp.concatenate([dw2, db2, db0, dwe, zero], axis=0)
 
     @pl.when(b == 0)
     def _():
@@ -418,9 +423,9 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
         dwb_ref[:, :] = dwb_ref[:, :] + dwb
 
 
-def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
-                          block_tile, edge_gid, z_upd, dz_upd, dr, dm,
-                          n_graphs):
+def _step_backward_pallas(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2,
+                          receivers, block_tile, edge_gid, z_upd, dz_upd,
+                          dr, dm, n_graphs):
     Ep, L = g_v.shape
     Np = a_u.shape[0]
     n_blocks = Ep // EDGE_BLOCK
@@ -446,6 +451,8 @@ def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b, bt: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -455,7 +462,7 @@ def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
             edge_spec,
             tile_spec,
             tile_spec,
-            pl.BlockSpec((L + 8, L), lambda b, bt: (0, 0),
+            pl.BlockSpec((2 * L + 8, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -463,15 +470,15 @@ def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
         call = pl.pallas_call(
             functools.partial(_step_bwd_kernel, n_graphs=n_graphs),
             out_shape=(
-                # stream cotangents in the stream dtype; the dA/dW2/db
+                # stream cotangents in the stream dtype; the dA/dW2/db/dWe
                 # ACCUMULATORS stay fp32 (revisited-block accumulation) and
                 # are cast to the input dtypes in _step_bwd
                 jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dg_v
                 jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dg_u
-                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # dep
+                jax.ShapeDtypeStruct((Ep, L), g_v.dtype),  # de
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),
-                jax.ShapeDtypeStruct((L + 8, L), jnp.float32),
+                jax.ShapeDtypeStruct((2 * L + 8, L), jnp.float32),
             ),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -479,34 +486,38 @@ def _step_backward_pallas(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers,
             ),
         )
         return call(
-            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, ep, z_upd,
-            dz_upd, dr, dm, rcv2d, gid2d, w2, b01,
+            block_tile.astype(jnp.int32), a_u, a_v, g_v, g_u, e, z_upd,
+            dz_upd, dr, dm, rcv2d, gid2d, w_e, w2, b01,
         )
 
 
-def _step_fwd(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, n_graphs):
-    out = _step_forward(a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux,
-                        n_graphs)
+def _step_fwd(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, aux,
+              n_graphs):
+    out = _step_forward(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers,
+                        aux, n_graphs)
     z_upd, r, m = out
-    return out, (a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, z_upd)
+    return out, (a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, aux,
+                 z_upd)
 
 
 def _step_bwd(n_graphs, res, cot):
-    a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, aux, z_upd = res
+    (a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, aux,
+     z_upd) = res
     dz_upd, dr, dm = cot
     edge_gid, block_tile = aux
-    dg_v, dg_u, dep, da_u, da_v, dwb = _step_backward_pallas(
-        a_u, a_v, g_v, g_u, ep, b0, w2, b2, receivers, block_tile,
+    dg_v, dg_u, de, da_u, da_v, dwb = _step_backward_pallas(
+        a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, block_tile,
         edge_gid, z_upd, dz_upd, dr, dm, n_graphs,
     )
     L = w2.shape[0]
-    # dwb rows: [dW2 (L); db2 (1); db0 (1); zero padding (6)]
+    # dwb rows: [dW2 (L); db2 (1); db0 (1); dWe (L); zero padding (6)]
     return (
         da_u.astype(a_u.dtype),
         da_v.astype(a_v.dtype),
         dg_v,
         dg_u,
-        dep,
+        de,
+        dwb[L + 2 : 2 * L + 2].astype(w_e.dtype),
         dwb[L + 1].astype(b0.dtype),
         dwb[:L].astype(w2.dtype),
         dwb[L].astype(b2.dtype),

@@ -83,27 +83,27 @@ G = batch.n_graphs
 
 from p_div_gnn_tpu.ops.fused_edge import fused_edge_step
 
-def kfwd(c, a_u, a_v, g_u, ep, b0, w2, b2, rcv, eg, bt):
-    z, r, m = fused_edge_step(a_u, a_v, c, g_u, ep, b0, w2, b2,
+def kfwd(c, a_u, a_v, g_u, ep, we, b0, w2, b2, rcv, eg, bt):
+    z, r, m = fused_edge_step(a_u, a_v, c, g_u, ep, we, b0, w2, b2,
                               rcv, (eg, bt), G)
     # 1e-6*z keeps every scan step live (XLA folds 0*z to 0 and DCEs
     # the whole kernel chain - measured 0.027 "ms" ghosts)
     return c + 1e-6 * z
 
 f = scan_self(kfwd, KK)
-out["kfwd_ms"] = timed(f, g_v, a_u, a_v, g_u, ep, b0, w2, b2,
+out["kfwd_ms"] = timed(f, g_v, a_u, a_v, g_u, ep, w2 * 0.1, b0, w2, b2,
                        batch.receivers, aux[0], aux[1], reps=KK)
 print(json.dumps(out), flush=True)
 
-def kbwd(c, a_u, a_v, g_u, ep, b0, w2, b2, rcv, eg, bt):
+def kbwd(c, a_u, a_v, g_u, ep, we, b0, w2, b2, rcv, eg, bt):
     def lo(gv):
-        z, r, m = fused_edge_step(a_u, a_v, gv, g_u, ep, b0, w2, b2,
+        z, r, m = fused_edge_step(a_u, a_v, gv, g_u, ep, we, b0, w2, b2,
                                   rcv, (eg, bt), G)
         return jnp.sum(z) + jnp.sum(r) + jnp.sum(m)
     return c + 1e-6 * jax.grad(lo)(c)
 
 f = scan_self(kbwd, KK)
-out["kbwd_ms"] = timed(f, g_v, a_u, a_v, g_u, ep, b0, w2, b2,
+out["kbwd_ms"] = timed(f, g_v, a_u, a_v, g_u, ep, w2 * 0.1, b0, w2, b2,
                        batch.receivers, aux[0], aux[1], reps=KK)
 print(json.dumps(out), flush=True)
 

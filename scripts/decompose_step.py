@@ -158,7 +158,7 @@ def main():
     b0 = jnp.zeros((L,), jnp.float32)
 
     def kfwd(s):
-        z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, b0, w2, b2,
+        z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, w2, b0, w2, b2,
                                       batch.receivers, aux, G)
         return z_upd  # same shape as s → scan_self works
 
@@ -166,7 +166,7 @@ def main():
     results["kfwd"] = timed("kfwd", f, s0, reps_divisor=KK)
 
     def kloss(s):
-        z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, b0, w2, b2,
+        z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, w2, b0, w2, b2,
                                       batch.receivers, aux, G)
         return jnp.sum(z_upd) + jnp.sum(r) + jnp.sum(m)
 

@@ -14,9 +14,10 @@ from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, blockify_edges
 from p_div_gnn_tpu.ops.fused_edge import NODE_TILE, fused_edge_step
 
 
-def _reference(a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv, gid, n_graphs,
-               num_nodes):
+def _reference(a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, rcv, gid,
+               n_graphs, num_nodes):
     mask = (gid < n_graphs).astype(jnp.float32)[:, None]
+    ep = e @ w_e
     z_msg = jnp.maximum(
         jnp.maximum(a_u[rcv] + g_v + ep + b0, 0.0) @ w2 + b2, 0.0
     ) * mask
@@ -65,7 +66,8 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
     a_v = jnp.asarray(rng.normal(size=(num_nodes, L)), jnp.float32)
     g_v = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
     g_u = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
-    ep = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(Ep, L)), jnp.float32)
+    w_e = jnp.asarray(rng.normal(size=(L, L)) / np.sqrt(L), jnp.float32)
     b0 = jnp.asarray(rng.normal(size=(L,)), jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(L, L)) / np.sqrt(L), jnp.float32)
     b2 = jnp.asarray(rng.normal(size=(L,)), jnp.float32)
@@ -75,10 +77,10 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
 
     with pltpu.force_tpu_interpret_mode():
         z_upd, r, m = fused_edge_step(
-            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, aux, n_graphs
+            a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, rcv_j, aux, n_graphs
         )
     z_ref, r_ref, m_ref = _reference(
-        a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, gid_j, n_graphs,
+        a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, rcv_j, gid_j, n_graphs,
         num_nodes
     )
     np.testing.assert_allclose(np.asarray(z_upd), np.asarray(z_ref),
@@ -90,27 +92,27 @@ def test_fused_edge_step_forward_and_grads(n_tiles):
 
     # gradients: nonzero cotangents on ALL outputs via a mixed scalar loss
     def loss_fused(args):
-        a_u, a_v, g_v, g_u, ep, b0, w2, b2 = args
+        a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2 = args
         z, r, m = fused_edge_step(
-            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, aux, n_graphs
+            a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, rcv_j, aux, n_graphs
         )
         return (jnp.sum(jnp.sin(z)) + jnp.sum(r * r) * 0.1
                 + jnp.sum(m[:4] * jnp.arange(1.0, 5.0)[:, None]))
 
     def loss_ref(args):
-        a_u, a_v, g_v, g_u, ep, b0, w2, b2 = args
+        a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2 = args
         z, r, m = _reference(
-            a_u, a_v, g_v, g_u, ep, b0, w2, b2, rcv_j, gid_j, n_graphs,
-            num_nodes
+            a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, rcv_j, gid_j,
+            n_graphs, num_nodes
         )
         return (jnp.sum(jnp.sin(z)) + jnp.sum(r * r) * 0.1
                 + jnp.sum(m[:4] * jnp.arange(1.0, 5.0)[:, None]))
 
-    args = (a_u, a_v, g_v, g_u, ep, b0, w2, b2)
+    args = (a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2)
     with pltpu.force_tpu_interpret_mode():
         g_fused = jax.grad(loss_fused)(args)
     g_ref = jax.grad(loss_ref)(args)
-    names = ["a_u", "a_v", "g_v", "g_u", "ep", "b0", "w2", "b2"]
+    names = ["a_u", "a_v", "g_v", "g_u", "e", "w_e", "b0", "w2", "b2"]
     for name, a, b in zip(names, g_fused, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
