@@ -41,9 +41,30 @@ import time
 
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("PDG_BENCH_BUDGET_S", "480"))
-# baseline + production kernel path; override for ad-hoc runs only
-IMPLS = os.environ.get("PDG_BENCH_IMPLS", "xla,fused").split(",")
 SCAN_STEPS = 10
+
+
+def _impls() -> list[str]:
+    """Baseline + production path(s). Entries are ``impl`` or
+    ``impl:stream_dtype``. bf16 streams join the production set ONLY
+    once the multi-seed paired A/B (docs/evidence/ab_bf16_seeds.json)
+    exists and clears the pre-registered <5% accuracy bar with >=2
+    complete pairs — the bench never headlines a dtype the accuracy
+    evidence hasn't cleared."""
+    env = os.environ.get("PDG_BENCH_IMPLS")
+    if env:
+        return env.split(",")
+    impls = ["xla", "fused"]
+    try:
+        ab = json.load(open("docs/evidence/ab_bf16_seeds.json"))
+        if len(ab.get("pairs", [])) >= 2 and ab.get("mean_gap_pct", 99) < 5:
+            impls.append("fused:bfloat16")
+    except Exception:
+        pass
+    return impls
+
+
+IMPLS = _impls()
 
 
 def log(*a):
@@ -164,21 +185,29 @@ def emit(n_edges: int, best_t: dict) -> None:
         # null (not a fabricated 1.0) until the xla baseline has a timing
         "vs_baseline": round(t_xla / best, 4) if t_xla else None,
     }
-    # %speed-of-light against the roofline computed by scripts/roofline.py
-    # (XLA cost analysis + v5e peaks); see docs/evidence/roofline.json
-    try:
-        roof = json.load(open("docs/evidence/roofline.json"))
-        t_ref = finite.get(roof["impl"])
+    # %speed-of-light against the roofline matching the winning case
+    # (scripts/roofline.py writes one JSON per (impl, stream_dtype))
+    best_case = min(finite, key=finite.get)
+    result["best_impl"] = best_case
+    for roof_path in (
+        "docs/evidence/roofline.json",
+        "docs/evidence/roofline_bf16.json",
+    ):
+        try:
+            roof = json.load(open(roof_path))
+        except Exception:
+            continue
+        case = roof["impl"]
         if roof.get("stream_dtype", "float32") != "float32":
-            t_ref = None  # bench times fp32-stream models only
-        if t_ref is not None:
-            result["pct_speed_of_light"] = round(
-                100.0 * roof["speed_of_light_ms"] / (t_ref * 1e3), 1
-            )
-            result["sol_impl"] = roof["impl"]
-            result["sol_bound"] = roof["bound"]
-    except Exception:
-        pass
+            case += ":" + roof["stream_dtype"]
+        if case != best_case:
+            continue
+        result["pct_speed_of_light"] = round(
+            100.0 * roof["speed_of_light_ms"] / (finite[case] * 1e3), 1
+        )
+        result["sol_impl"] = case
+        result["sol_bound"] = roof["bound"]
+        break
     print(json.dumps(result), flush=True)
 
 
@@ -198,17 +227,21 @@ def main() -> None:
     )
     best_t: dict[str, float] = {}
     cases = {}
-    # compile the PRODUCTION impl first so a budget/timeout cut mid-compile
-    # of the baseline still leaves the headline number measurable
-    for impl in sorted(IMPLS, key=lambda i: i == "xla"):
+    # compile the PRODUCTION impl(s) first (likely-fastest first) so a
+    # budget/timeout cut mid-compile of the baseline still leaves the
+    # headline number measurable
+    for impl in sorted(IMPLS, key=lambda i: (i == "xla", ":" not in i)):
         if cases and elapsed() > BUDGET_S - 120:
-            # the headline impl is compiled and timed; don't risk the
-            # whole run on a baseline compile with <120 s of budget left
+            # a headline impl is compiled and timed; don't risk the
+            # whole run on another compile with <120 s of budget left
             log(f"skipping {impl}: only {BUDGET_S - elapsed():.0f}s of "
                 "budget left after the production impl")
             continue
+        name, _, dtype = impl.partition(":")
         try:
-            cases[impl] = make_scanned_train_step(impl, batch)
+            cases[impl] = make_scanned_train_step(
+                name, batch, stream_dtype=dtype or "float32"
+            )
             best_t[impl] = float("inf")
             log(f"{impl}: compiled (t={elapsed():.0f}s)")
         except Exception as exc:  # pragma: no cover

@@ -139,6 +139,9 @@ def main():
     results["glue0"] = timed("glue0", f0, p0g, o0g, reps_divisor=K)
 
     # --- kernel-level --------------------------------------------------
+    # NB: big operands are EXPLICIT jit args — the axon remote-compile
+    # endpoint rejects request bodies with large closed-over constants
+    # (HTTP 413; scripts/block_sweep.py).
     from p_div_gnn_tpu.ops.fused_edge import fused_edge_step
     from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
 
@@ -152,51 +155,59 @@ def main():
     s0 = jax.random.normal(ks[2], (Ep, L), jnp.float32)
     w2 = jax.random.normal(ks[3], (L, L), jnp.float32) * 0.05
     b2 = jnp.zeros((L,), jnp.float32)
-    aux = (batch.edge_gid, batch.edge_block_tile)
     G = batch.n_graphs
 
     b0 = jnp.zeros((L,), jnp.float32)
 
-    def kfwd(s):
+    def scan_ops(f, length):
+        def run(x, *ops):
+            def body(c, _):
+                return f(c, *ops), None
+            return jax.lax.scan(body, x, None, length=length)[0]
+        return jax.jit(run)
+
+    def kfwd(s, a_u, a_v, w2, b0, b2, rcv, eg, bt):
         z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, w2, b0, w2, b2,
-                                      batch.receivers, aux, G)
-        return z_upd  # same shape as s → scan_self works
+                                      rcv, (eg, bt), G)
+        return s + 1e-6 * z_upd  # live carry (0*z would be DCEd)
 
-    f = scan_self(kfwd, s0, KK)
-    results["kfwd"] = timed("kfwd", f, s0, reps_divisor=KK)
+    f = scan_ops(kfwd, KK)
+    results["kfwd"] = timed(
+        "kfwd", f, s0, a_u, a_v, w2, b0, b2, batch.receivers,
+        batch.edge_gid, batch.edge_block_tile, reps_divisor=KK)
 
-    def kloss(s):
-        z_upd, r, m = fused_edge_step(a_u, a_v, s, s, s, w2, b0, w2, b2,
-                                      batch.receivers, aux, G)
-        return jnp.sum(z_upd) + jnp.sum(r) + jnp.sum(m)
+    def kbwd(s, a_u, a_v, w2, b0, b2, rcv, eg, bt):
+        def kloss(ss):
+            z_upd, r, m = fused_edge_step(a_u, a_v, ss, ss, ss, w2, b0,
+                                          w2, b2, rcv, (eg, bt), G)
+            return jnp.sum(z_upd) + jnp.sum(r) + jnp.sum(m)
+        return s * 0.999 + jax.grad(kloss)(s)
 
-    kgrad = jax.grad(kloss)
+    f = scan_ops(kbwd, KK)
+    results["kbwd"] = timed(
+        "kbwd (fwd+bwd)", f, s0, a_u, a_v, w2, b0, b2, batch.receivers,
+        batch.edge_gid, batch.edge_block_tile, reps_divisor=KK)
 
-    def kbwd(s):
-        return s * 0.999 + kgrad(s)
+    def scat(s, rcv, bt):
+        out = pallas_segment_sum(s, rcv, bt, Np)
+        return s + out[rcv] * 1e-6  # keep shape, serialize
 
-    f = scan_self(kbwd, s0, KK)
-    results["kbwd"] = timed("kbwd (fwd+bwd)", f, s0, reps_divisor=KK)
+    f = scan_ops(scat, KK)
+    results["scat_plus_gather"] = timed(
+        "scat(+gather)", f, s0, batch.receivers, batch.edge_block_tile,
+        reps_divisor=KK)
 
-    def scat(s):
-        out = pallas_segment_sum(s, batch.receivers, batch.edge_block_tile,
-                                 Np)
-        return s + out[batch.receivers] * 1e-6  # keep shape, serialize
-
-    f = scan_self(scat, s0, KK)
-    results["scat_plus_gather"] = timed("scat(+gather)", f, s0,
-                                        reps_divisor=KK)
-
-    def gath(p):
-        g = jnp.take(p, batch.senders, axis=0)
+    def gath(p, snd, rcv):
+        g = jnp.take(p, snd, axis=0)
         # fold back to node size to keep the carry shape
         return p * 0.999 + jax.ops.segment_sum(
-            g, batch.receivers, num_segments=Np, indices_are_sorted=True
+            g, rcv, num_segments=Np, indices_are_sorted=True
         ) * 1e-6
 
-    f = scan_self(gath, a_u, KK)
+    f = scan_ops(gath, KK)
     results["gather_plus_sorted_segsum"] = timed(
-        "gather+sorted_segsum", f, a_u, reps_divisor=KK)
+        "gather+sorted_segsum", f, a_u, batch.senders, batch.receivers,
+        reps_divisor=KK)
 
     # --- accounting -----------------------------------------------------
     mp_cost = results["train"] - results["glue0"]
