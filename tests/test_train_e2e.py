@@ -209,7 +209,6 @@ def test_flatten_optimizer_identical_updates():
     import numpy as np
 
     from p_div_gnn_tpu.graphs import pack_batch
-    from p_div_gnn_tpu.graphs.container import NormStats
     from p_div_gnn_tpu.models import EncodeProcessDecode
     from p_div_gnn_tpu.train.loop import Trainer
     from test_model import _mesh_sample, STATS
