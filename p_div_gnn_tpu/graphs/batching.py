@@ -50,13 +50,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 # Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
-# Round-4 default 768×256 (block × tile): the measured optimum of the
-# on-chip layout sweep (docs/evidence/block_sweep.json + train_combo.json
-# — 166.9 ms vs 183.4 ms at the r3 128×128 layout; larger blocks cut
-# per-grid-step overhead 10-18%, while RCM keeps the tile-run round-up
-# waste at <1%). Env-tunable for experiments; layouts and kernels share
-# these constants.
-EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "768"))
+# Round-4 default 512×256 (block × tile), from the on-chip layout sweep
+# (docs/evidence/block_sweep.json + train_combo.json): larger blocks cut
+# per-grid-step overhead 10-18% and RCM keeps the tile-run round-up waste
+# ≈0.1% here. 768×256 times ~2-3% faster still, but the raw-e fused
+# BACKWARD kernel's fp32 VMEM footprint exceeds the 16 MB core limit by
+# ~340 KB at 768-row blocks — 512 is the largest fp32-safe block.
+# Env-tunable for experiments; layouts and kernels share these constants.
+EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "512"))
 # Node tile size for the block-aligned CSR layout and the one-hot MXU
 # gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
 # (a tile's edge run is padded to a block multiple, so more edges per tile
