@@ -156,6 +156,8 @@ def make_scanned_train_step(scatter_impl: str, batch,
         divergence_penalty=10.0, optimize_divergence=True,
     )
     params, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
+    log(f"{scatter_impl}/{stream_dtype}: init done "
+        f"(t={time.perf_counter() - T0:.0f}s); compiling scanned step")
 
     def body(carry, _):
         p, o = carry
