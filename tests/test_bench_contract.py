@@ -4,7 +4,6 @@ emitter (vs_baseline null-ness, best_impl, %SoL case matching)."""
 
 import importlib.util
 import json
-import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
