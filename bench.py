@@ -55,12 +55,21 @@ def _impls() -> list[str]:
     if env:
         return env.split(",")
     impls = ["xla", "fused"]
+    # resolve relative to this file, NOT the cwd — running bench.py from
+    # outside the repo root must not silently disable the evidence-cleared
+    # bf16 case (advisor round-4 finding). PDG_BF16_AB_PATH overrides for
+    # tests.
+    gate = os.environ.get("PDG_BF16_AB_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs/evidence/ab_bf16_seeds.json",
+    )
     try:
-        ab = json.load(open("docs/evidence/ab_bf16_seeds.json"))
+        ab = json.load(open(gate))
         if len(ab.get("pairs", [])) >= 2 and ab.get("mean_gap_pct", 99) < 5:
             impls.append("fused:bfloat16")
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001 — gate absence just skips bf16
+        print(f"bench: bf16 evidence gate unreadable ({gate}): {exc}",
+              file=sys.stderr, flush=True)
     return impls
 
 

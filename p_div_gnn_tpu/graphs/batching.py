@@ -10,7 +10,6 @@ is mask-aware (SURVEY.md §7.10).
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import numpy as np
 
@@ -49,21 +48,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
-# Round-4 default 512×256 (block × tile), from the on-chip layout sweep
-# (docs/evidence/block_sweep.json + train_combo.json): larger blocks cut
-# per-grid-step overhead 10-18% and RCM keeps the tile-run round-up waste
-# ≈0.1% here. 768×256 times ~2-3% faster still, but the raw-e fused
-# BACKWARD kernel's fp32 VMEM footprint exceeds the 16 MB core limit by
-# ~340 KB at 768-row blocks — 512 is the largest fp32-safe block.
-# Env-tunable for experiments; layouts and kernels share these constants.
-EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "512"))
-# Node tile size for the block-aligned CSR layout and the one-hot MXU
-# gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
-# (a tile's edge run is padded to a block multiple, so more edges per tile
-# → relatively less round-up waste) at the cost of wider one-hot
-# contractions (per-edge gather/scatter FLOPs scale with NODE_TILE).
-NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "256"))
+# Layout constants: re-exported from graphs/container.py (moved there so
+# GraphBatch.tile defaults to the active NODE_TILE — advisor round-4).
+# Existing importers (`from p_div_gnn_tpu.graphs.batching import
+# EDGE_BLOCK, NODE_TILE`) keep working.
+from p_div_gnn_tpu.graphs.container import EDGE_BLOCK, NODE_TILE  # noqa: E402
 # Sender-view padding: snd_perm padding slots point at edge slot 0 (a VALID
 # index, so the cotangent permutation runs as an UNGUARDED gather — XLA's
 # guarded mode="fill" gather measured ~15% slower on the flagship workload),

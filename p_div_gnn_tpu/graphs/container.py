@@ -18,6 +18,7 @@ arrays with masks and segment ids:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.struct
@@ -25,6 +26,28 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = Any  # np.ndarray on host, jnp.ndarray on device
+
+# Layout constants (single source of truth; re-exported by
+# graphs/batching.py which historically owned them). They live here so
+# GraphBatch.tile can default to the ACTIVE layout tile — a batch packed
+# at one tile fed to kernels compiled for another is silently
+# misaddressed (advisor round-4 finding).
+#
+# Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
+# Round-4 default 512×256 (block × tile), from the on-chip layout sweep
+# (docs/evidence/block_sweep.json + train_combo.json): larger blocks cut
+# per-grid-step overhead 10-18% and RCM keeps the tile-run round-up waste
+# ≈0.1% here. 768×256 times ~2-3% faster still, but the raw-e fused
+# BACKWARD kernel's fp32 VMEM footprint exceeds the 16 MB core limit by
+# ~340 KB at 768-row blocks — 512 is the largest fp32-safe block.
+# Env-tunable for experiments; layouts and kernels share these constants.
+EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "512"))
+# Node tile size for the block-aligned CSR layout and the one-hot MXU
+# gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
+# (a tile's edge run is padded to a block multiple, so more edges per tile
+# → relatively less round-up waste) at the cost of wider one-hot
+# contractions (per-edge gather/scatter FLOPs scale with NODE_TILE).
+NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "256"))
 
 
 class GraphBatch(flax.struct.PyTreeNode):
@@ -97,7 +120,7 @@ class GraphBatch(flax.struct.PyTreeNode):
 
     # --- static
     n_graphs: int = flax.struct.field(pytree_node=False, default=1)
-    tile: int = flax.struct.field(pytree_node=False, default=128)
+    tile: int = flax.struct.field(pytree_node=False, default=NODE_TILE)
 
     # Derived masks -------------------------------------------------------
     @property

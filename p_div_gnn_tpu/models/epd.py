@@ -166,6 +166,17 @@ class Processor(nn.Module):
             e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
         use_fused = self.scatter_impl in ("fused", "fused2")
+        if use_fused:
+            # The Pallas kernels address node tiles as tile_index*NODE_TILE;
+            # a batch packed at a different tile would be silently
+            # misaddressed (advisor round-4 finding).
+            from p_div_gnn_tpu.graphs.batching import NODE_TILE
+
+            assert batch.tile == NODE_TILE, (
+                f"batch packed with tile={batch.tile} but the fused kernels "
+                f"are compiled for NODE_TILE={NODE_TILE}; repack the batch "
+                f"(or set PDG_NODE_TILE) so the layouts agree"
+            )
         if self.scatter_impl == "fused2":
             # pair-blocked FULL fusion: both endpoint gathers and the
             # e-projection live inside one kernel pass (needs a batch packed

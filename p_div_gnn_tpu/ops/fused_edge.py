@@ -112,6 +112,23 @@ def _mm_f32(x_f32, y_f32, dims):
     )
 
 
+# Shared packed weight-grad accumulator layout for BOTH fused backward
+# kernels (advisor round-4: divergent row orders between step and step2
+# were an easy future slicing mistake). Rows of the (2L+8, L) block:
+#   [dW2 (L rows); db2 (1); db0 (1); dWe (L); zero padding (6)]
+
+
+def _pack_wgrads(dw2, db2, db0, dwe):
+    L = dw2.shape[1]
+    zero = jnp.zeros((6, L), jnp.float32)
+    return jnp.concatenate([dw2, db2, db0, dwe, zero], axis=0)
+
+
+def _unpack_wgrads(dwb, L):
+    """Returns (dW2, db2, db0, dWe) views of the packed accumulator."""
+    return dwb[:L], dwb[L], dwb[L + 1], dwb[L + 2 : 2 * L + 2]
+
+
 def _maybe_interpret():
     """On a genuine CPU backend (no TPU), run the kernels in TPU-interpret
     mode so the fused path stays functional everywhere (tests/dev boxes);
@@ -411,8 +428,7 @@ def _step_bwd_kernel(block_tile_ref, a_u_ref, a_v_ref, g_v_ref, g_u_ref,
     db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
     db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
     dwe = mm(e_ref[:, :], dpre_sum, ((0,), (0,)))
-    zero = jnp.zeros((6, L), jnp.float32)
-    dwb = jnp.concatenate([dw2, db2, db0, dwe, zero], axis=0)
+    dwb = _pack_wgrads(dw2, db2, db0, dwe)
 
     @pl.when(b == 0)
     def _():
@@ -509,18 +525,17 @@ def _step_bwd(n_graphs, res, cot):
         a_u, a_v, g_v, g_u, e, w_e, b0, w2, b2, receivers, block_tile,
         edge_gid, z_upd, dz_upd, dr, dm, n_graphs,
     )
-    L = w2.shape[0]
-    # dwb rows: [dW2 (L); db2 (1); db0 (1); dWe (L); zero padding (6)]
+    dw2, db2, db0, dwe = _unpack_wgrads(dwb, w2.shape[0])
     return (
         da_u.astype(a_u.dtype),
         da_v.astype(a_v.dtype),
         dg_v,
         dg_u,
         de,
-        dwb[L + 2 : 2 * L + 2].astype(w_e.dtype),
-        dwb[L + 1].astype(b0.dtype),
-        dwb[:L].astype(w2.dtype),
-        dwb[L].astype(b2.dtype),
+        dwe.astype(w_e.dtype),
+        db0.astype(b0.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(b2.dtype),
         None,
         None,
     )
@@ -757,7 +772,7 @@ def _step2_bwd_kernel(meta_ref, u_r_ref, v_r_ref, u_s_ref, v_s_ref, e_ref,
       sender-view MXU scatter — sender-tile revisits are non-consecutive
       in rcv-major grid order, so they can't accumulate in-kernel)
     - du_rcv/dv_rcv tile accumulators (rcv revisits ARE consecutive)
-    - packed [dW2; db2; dWe; db0] accumulator."""
+    - the shared packed weight-grad accumulator (_pack_wgrads)."""
     dt = e_ref.dtype
     prec = _PREC if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     b = pl.program_id(0)
@@ -830,8 +845,7 @@ def _step2_bwd_kernel(meta_ref, u_r_ref, v_r_ref, u_s_ref, v_s_ref, e_ref,
     db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
     dwe = mm(e_ref[:, :], dpre_sum, ((0,), (0,)))
     db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
-    zero = jnp.zeros((6, L), jnp.float32)
-    dwb = jnp.concatenate([dw2, db2, dwe, db0, zero], axis=0)
+    dwb = _pack_wgrads(dw2, db2, db0, dwe)
 
     @pl.when(b == 0)
     def _():
@@ -923,15 +937,15 @@ def _step2_bwd(n_graphs, res, cot):
 
     du = du_rcv + snd_scatter(dpre2)  # u appears at snd in the UPDATE path
     dv = dv_rcv + snd_scatter(dpre1)  # v appears at snd in the MESSAGE path
-    # dwb rows: [dW2 (L); db2 (1); dWe (L); db0 (1); zero padding (6)]
+    dw2, db2, db0, dwe = _unpack_wgrads(dwb, L)
     return (
         du.astype(proj_u.dtype),
         dv.astype(proj_v.dtype),
         de,
-        dwb[L + 1 : 2 * L + 1].astype(w_e.dtype),
-        dwb[2 * L + 1].astype(b0.dtype),
-        dwb[:L].astype(w2.dtype),
-        dwb[L].astype(b2.dtype),
+        dwe.astype(w_e.dtype),
+        db0.astype(b0.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(b2.dtype),
         None,
         None,
         None,

@@ -30,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from p_div_gnn_tpu.graphs.batching import GraphSample
+from p_div_gnn_tpu.graphs.batching import NODE_TILE, GraphSample
 from p_div_gnn_tpu.parallel.dp import pack_sharded_batch
 
 
@@ -80,7 +80,7 @@ def pack_global_batch(
     mesh: Mesh,
     graphs_per_shard: int | None = None,
     axis: str = "data",
-    tile: int = 128,
+    tile: int = NODE_TILE,
 ) -> Any:
     """Pack ``samples`` (the SAME full list on every process — cheap host
     work, deterministic) into one shard per global device, then build

@@ -10,10 +10,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _load_bench(monkeypatch, tmp_path, ab=None, rooflines=()):
-    """Import bench.py fresh with cwd pointed at a synthetic evidence
-    tree (the gate and the emitter read relative paths)."""
+    """Import bench.py fresh against a synthetic evidence tree. The bf16
+    gate resolves relative to bench.py itself (advisor round-4: a cwd-
+    relative read silently disabled the gate off-root), so the test
+    points it at the synthetic file via PDG_BF16_AB_PATH; the roofline
+    emitter still reads cwd-relative paths."""
     ev = tmp_path / "docs" / "evidence"
     ev.mkdir(parents=True)
+    monkeypatch.setenv("PDG_BF16_AB_PATH", str(ev / "ab_bf16_seeds.json"))
     if ab is not None:
         (ev / "ab_bf16_seeds.json").write_text(json.dumps(ab))
     for name, payload in rooflines:
