@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: check lint test bench
+.PHONY: check lint test test-all bench
 
 check: lint test
 
@@ -11,7 +11,12 @@ lint:
 	$(PY) -m compileall -q p_div_gnn_tpu tests scripts tools bench.py __graft_entry__.py
 	$(PY) tools/lint.py
 
+# Default target fits one CI/driver budget (<5 min): the expensive
+# end-to-end/parity tests are marked `slow` and run via test-all.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 bench:

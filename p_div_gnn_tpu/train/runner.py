@@ -156,6 +156,13 @@ def run_experience(
     )
     first_batch = next(iter(test_loader))
     params, opt_state = trainer.init(rng, first_batch)
+    # run-start model summary, the reference's `print_model` analog
+    # (`gnn_train.py:413`, `models.py:33-41`): per-parameter table +
+    # total count, printed AND logged below as run provenance.
+    from p_div_gnn_tpu.models.summary import model_summary
+
+    summary = model_summary(model, params)
+    print(summary)
     print(f"EncodeProcessDecode params: {count_params(params)}")
 
     start_epoch = 0
@@ -180,6 +187,8 @@ def run_experience(
         results.mkdir(parents=True, exist_ok=True)
         shutil.copyfile(config_path, results / Path(config_path).name)
     with MetricsWriter(results / "train_logs") as writer:
+        # reference logs the model summary blob first (`gnn_train.py:419`)
+        writer.add_text("Model summary", summary)
         writer.add_text(
             "Train parameters",
             f"Batch size = {batch_size}; Learning rate = {learning_rate}; "

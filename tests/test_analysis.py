@@ -4,6 +4,7 @@
 import json
 
 import numpy as np
+import pytest
 import pandas as pd
 
 from p_div_gnn_tpu.analysis.compare import (
@@ -109,6 +110,7 @@ def test_evaluate_model_folder(tmp_path):
     assert np.isfinite(metrics).all().all()
 
 
+@pytest.mark.slow
 def test_render_cross_model_figures(tmp_path):
     """Figure fan-out runs end-to-end on two synthetic inference folders
     with DIFFERENT normalize_params (pins the per-model standardization:

@@ -28,6 +28,7 @@ def mesh4():
     return Mesh(np.array(devs[:4]), ("data",))
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device(mesh4):
     samples = [_mesh_sample(i, nx=4 + (i % 3)) for i in range(8)]
     model = EncodeProcessDecode(latent_size=16, message_passing_steps=2)
@@ -133,6 +134,7 @@ def _toy_ds(tmp_path, n=4, seed=7):
     return MeshStressFieldDataset(_write_toy_dataset(tmp_path, n_samples=n, seed=seed))
 
 
+@pytest.mark.slow
 def test_unified_trainer_dp_matches_single_chip(mesh4, tmp_path):
     """Trainer(mesh=...) .fit ≡ Trainer() .fit — the unified loop gives the
     same trajectory sharded and unsharded (whole-batch DP semantics)."""
@@ -168,6 +170,7 @@ def test_unified_trainer_dp_matches_single_chip(mesh4, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dp_resume_continues_trajectory(mesh4, tmp_path):
     """DP fit 2 epochs + resume 2 more ≡ DP fit 4 epochs straight
     (VERDICT round-1 weak #2: the DP loop must be as recoverable as the

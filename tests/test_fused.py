@@ -2,6 +2,7 @@
 CPU): forward parity and gradient parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
@@ -54,6 +55,7 @@ def test_fused_gradients_match_xla():
         )
 
 
+@pytest.mark.slow
 def test_fused_dp_grads_match_xla_dp():
     """Fused path under data-parallel sharding: the psum'd lazy-LN moments
     must reproduce the XLA path's whole-batch graph-LN statistics."""
@@ -189,6 +191,7 @@ def test_fused_bf16_stream_mode_close_to_fp32():
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 def test_fused_partitioned_train_step_matches_single_device():
     """Fused TRAIN STEP under a halo ≡ fused single-shard train step
     (VERDICT r3 weak #6 / item 5): the partitioned planner now builds the

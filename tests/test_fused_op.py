@@ -146,6 +146,7 @@ def test_sender_gather_vjp_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_model_grads_same_with_and_without_sender_view():
     """End-to-end: stripping the sender view must not change the fused
     model's gradients (only the scatter implementation differs)."""

@@ -13,6 +13,9 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # real-subprocess tests, ~45 s
 
 REPO = Path(__file__).resolve().parents[1]
 

@@ -3,6 +3,7 @@ optimizer trajectory (capability the reference stores but never uses —
 `models.py:66-87` returns the epoch, no script resumes)."""
 
 import numpy as np
+import pytest
 import jax
 
 from p_div_gnn_tpu.graphs import MeshStressFieldDataset
@@ -13,6 +14,7 @@ from p_div_gnn_tpu.train.checkpoint import LAST_CHECKPOINT
 from test_train_e2e import _write_toy_dataset
 
 
+@pytest.mark.slow
 def test_resume_continues_trajectory(tmp_path):
     df = _write_toy_dataset(tmp_path, n_samples=4, seed=7)
     ds = MeshStressFieldDataset(df)

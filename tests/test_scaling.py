@@ -9,6 +9,7 @@ from p_div_gnn_tpu.parallel.scaling import measure_dp_scaling
 from test_model import _mesh_sample
 
 
+@pytest.mark.slow
 def test_dp_scaling_harness_runs():
     if len(jax.devices()) < 2:
         pytest.skip("needs multi-device mesh")

@@ -75,6 +75,7 @@ def _write_toy_dataset(root, n_samples=6, seed=0):
     return df
 
 
+@pytest.mark.slow
 def test_train_e2e_loss_decreases_and_checkpoints(tmp_path):
     df = _write_toy_dataset(tmp_path, n_samples=6)
     ds = MeshStressFieldDataset(df, periodic_graph=True)
@@ -200,6 +201,7 @@ def test_skip_nonfinite_updates(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_flatten_optimizer_identical_updates():
     """Trainer(flatten_optimizer=True) — optax.flatten(adam) over one
     concatenated vector — must produce bit-compatible parameter updates
