@@ -143,29 +143,31 @@ class Processor(nn.Module):
         # Under edge partitioning, senders address the extended
         # [local ++ ghost] space refreshed by one all-gather per step.
         prec = matmul_precision()
-        if halo is not None:
-            # Exchange RAW features and project ghosts separately: the
-            # collective has no data dependence on the local N×L×L matmuls,
-            # so XLA overlaps it with them (compute/communication overlap,
-            # SURVEY §8.7); ghost projections are tiny (D·Hp rows).
-            ghosts = halo.exchange_ghosts(x)
-            proj_u = jnp.concatenate(
-                [jnp.dot(x, w_u, precision=prec),
-                 jnp.dot(ghosts, w_u, precision=prec)], axis=0
-            )
-            proj_v = jnp.concatenate(
-                [jnp.dot(x, w_v, precision=prec),
-                 jnp.dot(ghosts, w_v, precision=prec)], axis=0
-            )
-        else:
-            proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST concat slot
-            proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND concat slot
-        if self.scatter_impl not in ("fused", "fused2"):
+        if self.scatter_impl != "fused3":
+            if halo is not None:
+                # Exchange RAW features and project ghosts separately: the
+                # collective has no data dependence on the local N×L×L
+                # matmuls, so XLA overlaps it with them (compute/
+                # communication overlap, SURVEY §8.7); ghost projections
+                # are tiny (D·Hp rows).
+                ghosts = halo.exchange_ghosts(x)
+                proj_u = jnp.concatenate(
+                    [jnp.dot(x, w_u, precision=prec),
+                     jnp.dot(ghosts, w_u, precision=prec)], axis=0
+                )
+                proj_v = jnp.concatenate(
+                    [jnp.dot(x, w_v, precision=prec),
+                     jnp.dot(ghosts, w_v, precision=prec)], axis=0
+                )
+            else:
+                proj_u = jnp.dot(x, w_u, precision=prec)  # FIRST slot
+                proj_v = jnp.dot(x, w_v, precision=prec)  # SECOND slot
+        if self.scatter_impl not in ("fused", "fused2", "fused3"):
             # the fused kernels project e in-kernel (the (Ep, L) ep stream
             # never exists in HBM); the dense XLA paths share one e @ We
             e_proj = jnp.dot(e, w_e, precision=prec)  # shared by both evals
 
-        use_fused = self.scatter_impl in ("fused", "fused2")
+        use_fused = self.scatter_impl in ("fused", "fused2", "fused3")
         if use_fused:
             # The Pallas kernels address node tiles as tile_index*NODE_TILE;
             # a batch packed at a different tile would be silently
@@ -177,7 +179,63 @@ class Processor(nn.Module):
                 f"are compiled for NODE_TILE={NODE_TILE}; repack the batch "
                 f"(or set PDG_NODE_TILE) so the layouts agree"
             )
-        if self.scatter_impl == "fused2":
+        if self.scatter_impl == "fused3":
+            # v3 raw-x step (round-5): ONE raw sender stream each way in
+            # the stream dtype; slot projections + e-projection form
+            # in-kernel; the backward's sender cotangent is ONE stream
+            # scattered by the dtype-generic block-CSR kernel
+            # (ops/fused_edge3.py — 12.5 → ~3.4 ms of sender machinery
+            # per MP step at the flagship workload, micro_sender.json).
+            from p_div_gnn_tpu.ops.fused_edge import (
+                lazy_layernorm_affine,
+                moments_from_partials,
+            )
+            from p_div_gnn_tpu.ops.fused_edge3 import fused_edge_step3
+            from p_div_gnn_tpu.ops.segment import segment_sum
+
+            G = batch.n_graphs
+            aux = (batch.edge_gid, batch.edge_block_tile)
+            Np = x.shape[0]
+            sd = (
+                jnp.bfloat16 if self.stream_dtype == "bfloat16"
+                else jnp.float32
+            )
+            x_sd = x.astype(sd)
+            if halo is not None:
+                # ghosts ride the collective in the stream dtype (halves
+                # wire bytes in bf16 mode); senders address the extended
+                # [local ++ ghost] space like the v2 path
+                x_ext = jnp.concatenate(
+                    [x_sd, halo.exchange_ghosts(x_sd)], axis=0
+                )
+            else:
+                x_ext = x_sd
+            if batch.snd_perm is not None:
+                from p_div_gnn_tpu.ops.gather import sender_gather_one
+
+                g_x = sender_gather_one(
+                    x_ext, snd, batch.snd_perm, batch.snd_sorted,
+                    batch.snd_block_tile, x_ext.shape[0],
+                )
+            else:
+                g_x = x_ext[snd]
+            z_upd, r_raw, m = fused_edge_step3(
+                x_sd, g_x, e.astype(sd),
+                w_u.astype(sd), w_v.astype(sd), w_e.astype(sd),
+                edge_b0.astype(sd), edge_lin1_k.astype(sd),
+                edge_lin1_b.astype(sd), rcv, aux, G,
+            )
+            m1, s1 = moments_from_partials(m[0], m[1], edge_mask, axis_name)
+            a1, b1 = lazy_layernorm_affine(m1, s1, edge_ln_w, edge_ln_b)
+            m2, s2 = moments_from_partials(m[2], m[3], edge_mask, axis_name)
+            a2, b2 = lazy_layernorm_affine(m2, s2, edge_ln_w, edge_ln_b)
+            if deg is None:
+                deg = segment_sum(
+                    edge_mask.astype(jnp.float32)[:, None], rcv, Np
+                )
+            aggr = r_raw * a1 + deg * b1
+            new_e = (z_upd * a2 + b2) * edge_mask[:, None]
+        elif self.scatter_impl == "fused2":
             # pair-blocked FULL fusion: both endpoint gathers and the
             # e-projection live inside one kernel pass (needs a batch packed
             # with pair_blocks=True; see ops/fused_edge.fused_edge_step2)
@@ -327,7 +385,7 @@ class Processor(nn.Module):
                 x.shape[0],
                 block_tile=batch.edge_block_tile,
                 impl="xla"
-                if self.scatter_impl in ("fused", "fused2", "hybrid")
+                if self.scatter_impl in ("fused", "fused2", "fused3", "hybrid")
                 else self.scatter_impl,
                 # pair-blocked layouts are not globally receiver-sorted
                 sorted_receivers=batch.edge_block_snd_tile is None,
@@ -421,7 +479,7 @@ class EncodeProcessDecode(nn.Module):
         # segment-sum per step (it is NOT reliably loop-invariant-code-
         # motioned out of the scanned/rematerialized body by XLA).
         deg = None
-        if self.scatter_impl in ("fused", "fused2"):
+        if self.scatter_impl in ("fused", "fused2", "fused3"):
             from p_div_gnn_tpu.ops.segment import segment_sum
 
             deg = segment_sum(

@@ -108,3 +108,43 @@ def _pair_bwd(num_nodes, res, cts):
 
 
 sender_gather_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sender_gather_one(
+    x: jax.Array,  # (Np, L) — raw node latents, stream dtype (v3)
+    senders: jax.Array,  # (Ep,) i32
+    snd_perm: jax.Array,
+    snd_sorted: jax.Array,
+    snd_block_tile: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """The v3 (raw-x) sender gather: ONE stream each way, in the stream
+    dtype. Forward is a plain row gather ``x[senders]``; the backward
+    permutes the single cotangent stream into the sender-tile layout
+    WITHOUT leaving the stream dtype and accumulates it with the
+    dtype-generic block-CSR scatter kernel (fp32 accumulators). vs
+    sender_gather_pair this halves the stream count and, in bf16 mode,
+    halves the bytes again (micro_sender.json: 12.5 ms → ~3.4 ms of
+    machinery per MP step at the flagship workload)."""
+    return jnp.take(x, senders, axis=0)
+
+
+def _one_fwd(x, senders, snd_perm, snd_sorted, snd_block_tile, num_nodes):
+    out = jnp.take(x, senders, axis=0)
+    return out, (snd_perm, snd_sorted, snd_block_tile)
+
+
+def _one_bwd(num_nodes, res, g):
+    snd_perm, snd_sorted, snd_block_tile = res
+    from p_div_gnn_tpu.ops.scatter_pallas import pallas_segment_sum
+
+    # unguarded gather (padding slots point at slot 0; their one-hot rows
+    # are dead via snd_sorted == -1) — stays in the stream dtype; the
+    # cotangent dtype equals the primal x's (gather preserves dtype)
+    g_sorted = g.at[snd_perm].get(mode="promise_in_bounds")
+    dx = pallas_segment_sum(g_sorted, snd_sorted, snd_block_tile, num_nodes)
+    return dx.astype(g.dtype), None, None, None, None
+
+
+sender_gather_one.defvjp(_one_fwd, _one_bwd)

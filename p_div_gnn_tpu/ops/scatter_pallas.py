@@ -59,15 +59,21 @@ def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref):
     col_ids = jax.lax.broadcasted_iota(
         jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
     )
-    # The one-hot is exact in bf16, but the messages must not be rounded
-    # to a single bf16 pass (~1e-3/element). Splitting the fp32 messages
-    # into three bf16 terms reproduces the fp32 scatter to ~2^-24 in THREE
-    # single-pass dots — half the MXU passes of Mosaic's 6-pass HIGHEST
-    # (ops/fused_edge.py module header; docs/evidence/microbench.json).
-    from p_div_gnn_tpu.ops.fused_edge import _mm_onehot
+    # fp32 messages: the one-hot is exact in bf16, but the messages must
+    # not be rounded to a single bf16 pass (~1e-3/element). Splitting the
+    # fp32 messages into three bf16 terms reproduces the fp32 scatter to
+    # ~2^-24 in THREE single-pass dots — half the MXU passes of Mosaic's
+    # 6-pass HIGHEST (ops/fused_edge.py header; microbench.json).
+    # bf16 messages (v3 stream mode): ONE DEFAULT pass, fp32 accumulation
+    # — the inputs are already bf16-rounded so the split buys nothing.
+    from p_div_gnn_tpu.ops.fused_edge import _dot_default, _mm_onehot
 
-    onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
-    contrib = _mm_onehot(onehot, msg_ref[:, :], ((0,), (0,)))
+    if msg_ref.dtype == jnp.float32:
+        onehot = (col_ids == rcv_local).astype(jnp.bfloat16)
+        contrib = _mm_onehot(onehot, msg_ref[:, :], ((0,), (0,)))
+    else:
+        onehot = (col_ids == rcv_local).astype(msg_ref.dtype)
+        contrib = _dot_default(onehot, msg_ref[:, :], ((0,), (0,)))
 
     @pl.when(is_first)
     def _():
@@ -125,13 +131,18 @@ def _forward(messages, receivers, block_tile, num_nodes):
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * Ep * NODE_TILE * L,
-                bytes_accessed=Ep * L * 4 + Ep * 4 + num_nodes * L * 4,
+                bytes_accessed=Ep * L * messages.dtype.itemsize + Ep * 4
+                + num_nodes * L * 4,
                 transcendentals=0,
             ),
         )
-        return call(
-            block_tile.astype(jnp.int32), messages.astype(jnp.float32), rcv2d
+        # dtype-generic: bf16 message streams stay bf16 on the wire (the
+        # kernel accumulates fp32 either way); anything else goes fp32
+        msgs = (
+            messages if messages.dtype == jnp.bfloat16
+            else messages.astype(jnp.float32)
         )
+        return call(block_tile.astype(jnp.int32), msgs, rcv2d)
 
 
 def _fwd(messages, receivers, block_tile, num_nodes):
