@@ -54,7 +54,9 @@ def _impls() -> list[str]:
     env = os.environ.get("PDG_BENCH_IMPLS")
     if env:
         return env.split(",")
-    impls = ["xla", "fused"]
+    # production path since round 5: fused3 (raw-x kernels; ~1.77x the v2
+    # fused step measured interleaved — see the r5 evidence)
+    impls = ["xla", "fused3"]
     # resolve relative to this file, NOT the cwd — running bench.py from
     # outside the repo root must not silently disable the evidence-cleared
     # bf16 case (advisor round-4 finding). PDG_BF16_AB_PATH overrides for
@@ -66,7 +68,7 @@ def _impls() -> list[str]:
     try:
         ab = json.load(open(gate))
         if len(ab.get("pairs", [])) >= 2 and ab.get("mean_gap_pct", 99) < 5:
-            impls.append("fused:bfloat16")
+            impls.append("fused3:bfloat16")
     except Exception as exc:  # noqa: BLE001 — gate absence just skips bf16
         print(f"bench: bf16 evidence gate unreadable ({gate}): {exc}",
               file=sys.stderr, flush=True)

@@ -35,22 +35,22 @@ def _load_bench(monkeypatch, tmp_path, ab=None, rooflines=()):
 def test_bf16_gate_requires_two_clear_pairs(monkeypatch, tmp_path):
     # no A/B file → fp32-only production set
     m = _load_bench(monkeypatch, tmp_path)
-    assert m.IMPLS == ["xla", "fused"]
+    assert m.IMPLS == ["xla", "fused3"]
 
     # one pair only → still gated off
     ab = {"pairs": [{"seed": 1}], "mean_gap_pct": -0.3}
     m = _load_bench(monkeypatch, tmp_path / "a", ab=ab)
-    assert "fused:bfloat16" not in m.IMPLS
+    assert "fused3:bfloat16" not in m.IMPLS
 
     # two pairs but accuracy bar missed → gated off
     ab = {"pairs": [{"seed": 1}, {"seed": 2}], "mean_gap_pct": 7.0}
     m = _load_bench(monkeypatch, tmp_path / "b", ab=ab)
-    assert "fused:bfloat16" not in m.IMPLS
+    assert "fused3:bfloat16" not in m.IMPLS
 
     # two pairs inside the bar → bf16 joins
     ab = {"pairs": [{"seed": 1}, {"seed": 2}], "mean_gap_pct": -0.33}
     m = _load_bench(monkeypatch, tmp_path / "c", ab=ab)
-    assert m.IMPLS == ["xla", "fused", "fused:bfloat16"]
+    assert m.IMPLS == ["xla", "fused3", "fused3:bfloat16"]
 
 
 def test_env_override_wins(monkeypatch, tmp_path):

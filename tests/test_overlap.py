@@ -1,0 +1,49 @@
+"""Halo compute/communication overlap — structural evidence from the
+COMPILED artifact (VERDICT round-4 weak #5 / item 6).
+
+The Processor's halo branch keeps the ghost exchange data-independent of
+the local projection matmuls so XLA's scheduler may overlap them. This
+test compiles the partitioned forward on the virtual mesh and asserts,
+from the optimized HLO's def-use graph, that dot instructions exist in
+the collective's computation that are neither ancestors nor descendants
+of the all-to-all — the structural precondition for overlap (the host
+platform does not emit TPU's async start/done pairs; independence in the
+optimized HLO is the schedule-level fact the async scheduler needs).
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from p_div_gnn_tpu.graphs import pack_batch
+from p_div_gnn_tpu.models import EncodeProcessDecode
+from p_div_gnn_tpu.utils.hloscan import analyze_collective_overlap
+
+from test_model import STATS, _mesh_sample
+
+
+def test_halo_all_to_all_is_independent_of_local_projections():
+    from p_div_gnn_tpu.parallel.partition import (
+        device_put_partitioned,
+        make_partitioned_forward,
+        partition_batch,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    batch = pack_batch([_mesh_sample(i, nx=5) for i in range(2)], n_graphs=2)
+    model = EncodeProcessDecode(
+        latent_size=16, message_passing_steps=2, scatter_impl="xla",
+        remat_steps=False,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, STATS)
+    stacked, send_idx = partition_batch(batch, n_shards=4)
+    stacked, send_idx = device_put_partitioned(stacked, send_idx, mesh)
+    fwd = make_partitioned_forward(model, STATS, mesh, scale_output=True)
+    txt = jax.jit(fwd).lower(params, stacked, send_idx).compile().as_text()
+
+    report = analyze_collective_overlap(txt, "all-to-all")
+    # the two local slot projections (and typically the e-projection)
+    # must be schedulable while the collective is in flight
+    assert len(report["independent_dots"]) >= 2, report
+    # sanity: the ghost-consuming side DOES depend on the collective
+    assert any(d["class"] == "descendant" for d in report["dots"]), report
