@@ -55,7 +55,11 @@ def _impls() -> list[str]:
     if env:
         return env.split(",")
     # production path since round 5: fused3 (raw-x kernels; ~1.77x the v2
-    # fused step measured interleaved — see the r5 evidence)
+    # fused step measured interleaved — see the r5 evidence). PROTOCOL.md:
+    # the canonical run is TWO implementations — the xla baseline and THE
+    # production case: fused3:bfloat16 when the accuracy evidence gate
+    # clears, else fused3 fp32 (with main() dropping EDGE_BLOCK to the
+    # largest fp32-safe block).
     impls = ["xla", "fused3"]
     # resolve relative to this file, NOT the cwd — running bench.py from
     # outside the repo root must not silently disable the evidence-cleared
@@ -68,7 +72,7 @@ def _impls() -> list[str]:
     try:
         ab = json.load(open(gate))
         if len(ab.get("pairs", [])) >= 2 and ab.get("mean_gap_pct", 99) < 5:
-            impls.append("fused3:bfloat16")
+            impls[impls.index("fused3")] = "fused3:bfloat16"
     except Exception as exc:  # noqa: BLE001 — gate absence just skips bf16
         print(f"bench: bf16 evidence gate unreadable ({gate}): {exc}",
               file=sys.stderr, flush=True)
@@ -225,6 +229,19 @@ def emit(n_edges: int, best_t: dict) -> None:
 
 
 def main() -> None:
+    # Layout guard: the round-5 default layout is 768×256 (fastest for the
+    # bf16 production path), but the fp32 fused kernels' backward VMEM
+    # exceeds the 16 MB scoped limit at 768-row blocks. If the bf16 gate
+    # did NOT clear (fp32 fused3 is about to be timed), drop to the
+    # largest fp32-safe block BEFORE the package binds the constants.
+    if (
+        any(i in IMPLS for i in ("fused3", "fused"))
+        and "PDG_EDGE_BLOCK" not in os.environ
+    ):
+        os.environ["PDG_EDGE_BLOCK"] = "512"
+        log("bench: fp32 fused case in the set -> EDGE_BLOCK=512 "
+            "(fp32 backward VMEM exceeds the scoped limit at 768)")
+
     import jax
 
     from p_div_gnn_tpu.utils.cache import enable_persistent_cache

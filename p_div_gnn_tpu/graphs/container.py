@@ -33,15 +33,17 @@ Array = Any  # np.ndarray on host, jnp.ndarray on device
 # at one tile fed to kernels compiled for another is silently
 # misaddressed (advisor round-4 finding).
 #
-# Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py).
-# Round-4 default 512×256 (block × tile), from the on-chip layout sweep
-# (docs/evidence/block_sweep.json + train_combo.json): larger blocks cut
-# per-grid-step overhead 10-18% and RCM keeps the tile-run round-up waste
-# ≈0.1% here. 768×256 times ~2-3% faster still, but the raw-e fused
-# BACKWARD kernel's fp32 VMEM footprint exceeds the 16 MB core limit by
-# ~340 KB at 768-row blocks — 512 is the largest fp32-safe block.
+# Pallas edge-stream block size (ops/scatter_pallas.py, ops/fused_edge.py,
+# ops/fused_edge3.py). Round-5 default 768×256 (block × tile), from the
+# fused3 on-chip layout sweep (bf16 85.5 ms at 768×256 vs 90.2 at
+# 512×256, 111.7 at 1024×256 — padding blowup, 92.1 at 768×512 — wider
+# one-hot): larger blocks cut per-grid-step fixed cost; RCM keeps the
+# tile-run round-up waste small. CAVEAT: the LEGACY v2 "fused" impl's
+# fp32 backward kernel exceeds the 16 MB VMEM limit at 768-row blocks —
+# run scatter_impl="fused" fp32 with PDG_EDGE_BLOCK=512 (the production
+# fused3 kernels fit at 768 in both dtypes; verified on-chip).
 # Env-tunable for experiments; layouts and kernels share these constants.
-EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "512"))
+EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "768"))
 # Node tile size for the block-aligned CSR layout and the one-hot MXU
 # gather/scatter kernels. Larger tiles cut padding at a given EDGE_BLOCK
 # (a tile's edge run is padded to a block multiple, so more edges per tile

@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--seeds", nargs="+", type=int, default=[17, 23, 42])
     p.add_argument("--out", default="docs/evidence/ab_bf16_seeds.json")
     p.add_argument("--runs-root", default="/root/ab_runs")
+    p.add_argument("--scatter-impl", default="fused",
+                   help="kernel family under test (round-5: 'fused3' "
+                        "pairs extend the bf16 evidence to the raw-x "
+                        "kernels; use a separate --out)")
     args = p.parse_args()
 
     from p_div_gnn_tpu.train.runner import run_experience
@@ -61,7 +65,7 @@ def main() -> None:
         for sd in ("float32", "bfloat16"):
             if (seed, sd) in done:
                 continue
-            folder = Path(args.runs_root) / f"{sd}_s{seed}"
+            folder = Path(args.runs_root) / f"{args.scatter_impl}_{sd}_s{seed}"
             # tunnel-stall tolerance (scripts/ab_watchdog.sh restarts a
             # wedged sweep): resume a partially-trained run from its
             # last-epoch checkpoint; a folder with no checkpoint yet is a
@@ -86,7 +90,7 @@ def main() -> None:
                 learning_rate=1e-3,
                 message_passing_steps=10,
                 train_all_epochs=True,
-                scatter_impl="fused",
+                scatter_impl=args.scatter_impl,
                 stream_dtype=sd,
                 seed=seed,
                 resume=True,

@@ -47,10 +47,11 @@ def test_bf16_gate_requires_two_clear_pairs(monkeypatch, tmp_path):
     m = _load_bench(monkeypatch, tmp_path / "b", ab=ab)
     assert "fused3:bfloat16" not in m.IMPLS
 
-    # two pairs inside the bar → bf16 joins
+    # two pairs inside the bar → bf16 REPLACES fp32 as the production
+    # case (PROTOCOL: the canonical run is exactly baseline + production)
     ab = {"pairs": [{"seed": 1}, {"seed": 2}], "mean_gap_pct": -0.33}
     m = _load_bench(monkeypatch, tmp_path / "c", ab=ab)
-    assert m.IMPLS == ["xla", "fused3", "fused3:bfloat16"]
+    assert m.IMPLS == ["xla", "fused3:bfloat16"]
 
 
 def test_env_override_wins(monkeypatch, tmp_path):
