@@ -52,7 +52,11 @@ def _round_up(x: int, m: int) -> int:
 # GraphBatch.tile defaults to the active NODE_TILE — advisor round-4).
 # Existing importers (`from p_div_gnn_tpu.graphs.batching import
 # EDGE_BLOCK, NODE_TILE`) keep working.
-from p_div_gnn_tpu.graphs.container import EDGE_BLOCK, NODE_TILE  # noqa: E402
+from p_div_gnn_tpu.graphs.container import (  # noqa: E402
+    EDGE_BLOCK,
+    NODE_TILE,
+    SND_BLOCK,
+)
 # Sender-view padding: snd_perm padding slots point at edge slot 0 (a VALID
 # index, so the cotangent permutation runs as an UNGUARDED gather — XLA's
 # guarded mode="fill" gather measured ~15% slower on the flagship workload),
@@ -219,7 +223,7 @@ def build_sender_view(
     senders: np.ndarray,
     num_nodes: int,
     tile: int = NODE_TILE,
-    edge_block: int = EDGE_BLOCK,
+    edge_block: int = SND_BLOCK,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sender-major blockified view of an edge layout: edge slots re-sorted
     by SENDER tile, per-tile runs padded to ``edge_block``.
@@ -267,7 +271,7 @@ def pad_sender_view(
     target_capacity: int,
     num_nodes: int,
     tile: int = NODE_TILE,
-    edge_block: int = EDGE_BLOCK,
+    edge_block: int = SND_BLOCK,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Grow a sender view to a common capacity (whole padding blocks on the
     last tile — zero contributions) so views stack across DP shards."""

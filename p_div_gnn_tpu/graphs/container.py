@@ -50,6 +50,15 @@ EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "768"))
 # → relatively less round-up waste) at the cost of wider one-hot
 # contractions (per-edge gather/scatter FLOPs scale with NODE_TILE).
 NODE_TILE = int(os.environ.get("PDG_NODE_TILE", "256"))
+# Sender-VIEW block size (the sender-major scatter layout used by the
+# gather VJPs). Decoupled from EDGE_BLOCK in round 5 as an experiment
+# knob — the scatter kernels infer their block from the view shapes, so
+# this only affects packing. The on-chip train-step sweep found the
+# shared default is already optimal (bf16 fused3: 85.5 ms at 768 vs
+# 87.0 at 512, 88.6 at 256 — sender-view round-up padding is tiny on
+# RCM-ordered flagship meshes: 272.6k slots at 768 vs 271.4k at 256),
+# so SND_BLOCK follows EDGE_BLOCK unless overridden.
+SND_BLOCK = int(os.environ.get("PDG_SND_BLOCK", str(EDGE_BLOCK)))
 
 
 class GraphBatch(flax.struct.PyTreeNode):

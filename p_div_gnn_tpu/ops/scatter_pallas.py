@@ -34,8 +34,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# single source of truth for the layout constants (env-tunable)
-from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, NODE_TILE
+# single source of truth for the layout constants (env-tunable). The
+# scatter BLOCK size is inferred per call from the view shapes
+# (Ep / len(block_tile)) — round-5 decoupled the sender-view block
+# (SND_BLOCK) from the edge-kernel block (EDGE_BLOCK): sender-tile runs
+# pad to a block multiple, so the scatter wants smaller blocks than the
+# RCM-clustered receiver layout tolerates.
+from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK, NODE_TILE  # noqa: F401
 
 
 def _maybe_interpret():
@@ -48,7 +53,7 @@ def _maybe_interpret():
     return contextlib.nullcontext()
 
 
-def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref):
+def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref, *, block: int):
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
@@ -57,7 +62,7 @@ def _kernel(block_tile_ref, msg_ref, rcv_ref, out_ref):
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base  # (EB, 1)
     col_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+        jnp.int32, (block, NODE_TILE), 1
     )
     # fp32 messages: the one-hot is exact in bf16, but the messages must
     # not be rounded to a single bf16 pass (~1e-3/element). Splitting the
@@ -98,8 +103,12 @@ def pallas_segment_sum(
 def _forward(messages, receivers, block_tile, num_nodes):
     Ep, L = messages.shape
     assert num_nodes % NODE_TILE == 0, "num_nodes must be a tile multiple"
-    assert Ep % EDGE_BLOCK == 0, "edge capacity must be EDGE_BLOCK-aligned"
-    n_blocks = Ep // EDGE_BLOCK
+    n_blocks = int(block_tile.shape[0])
+    block = Ep // n_blocks
+    assert block * n_blocks == Ep and block % 8 == 0, (
+        f"edge capacity {Ep} not divisible into {n_blocks} sublane-aligned "
+        "blocks (view built with a different block size?)"
+    )
     # (EB, 1) receiver blocks: sublane dim EB is 8-aligned and the lane dim
     # equals the full array dim, satisfying the TPU BlockSpec tiling rules.
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
@@ -108,11 +117,11 @@ def _forward(messages, receivers, block_tile, num_nodes):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (EDGE_BLOCK, L), lambda b, bt: (b, 0),
+                (block, L), lambda b, bt: (b, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (EDGE_BLOCK, 1), lambda b, bt: (b, 0),
+                (block, 1), lambda b, bt: (b, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -123,7 +132,7 @@ def _forward(messages, receivers, block_tile, num_nodes):
     )
     with _maybe_interpret():
         call = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, block=block),
             out_shape=jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -159,7 +168,7 @@ pallas_segment_sum.defvjp(_fwd, _bwd)
 
 
 def _kernel_pair(block_tile_ref, a_ref, b_ref, rcv_ref, out_a_ref,
-                 out_b_ref):
+                 out_b_ref, *, block: int):
     """Two streams scattered by ONE receiver layout in one kernel pass:
     one one-hot + one grid traversal instead of two (per-block fixed cost
     — DMA issue + pipeline bookkeeping — is the dominant kernel cost at
@@ -172,7 +181,7 @@ def _kernel_pair(block_tile_ref, a_ref, b_ref, rcv_ref, out_a_ref,
     base = tile * NODE_TILE
     rcv_local = rcv_ref[:, :] - base
     col_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (EDGE_BLOCK, NODE_TILE), 1
+        jnp.int32, (block, NODE_TILE), 1
     )
     from p_div_gnn_tpu.ops.fused_edge import _mm_onehot
 
@@ -203,10 +212,12 @@ def pallas_segment_sum_pair(
     (ops/gather.sender_gather_pair)."""
     Ep, L = a.shape
     assert b.shape == a.shape
-    assert num_nodes % NODE_TILE == 0 and Ep % EDGE_BLOCK == 0
-    n_blocks = Ep // EDGE_BLOCK
+    assert num_nodes % NODE_TILE == 0
+    n_blocks = int(block_tile.shape[0])
+    block = Ep // n_blocks
+    assert block * n_blocks == Ep and block % 8 == 0
     rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
-    edge = pl.BlockSpec((EDGE_BLOCK, L), lambda bi, bt: (bi, 0),
+    edge = pl.BlockSpec((block, L), lambda bi, bt: (bi, 0),
                         memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((NODE_TILE, L), lambda bi, bt: (bt[bi], 0),
                         memory_space=pltpu.VMEM)
@@ -215,14 +226,14 @@ def pallas_segment_sum_pair(
         grid=(n_blocks,),
         in_specs=[
             edge, edge,
-            pl.BlockSpec((EDGE_BLOCK, 1), lambda bi, bt: (bi, 0),
+            pl.BlockSpec((block, 1), lambda bi, bt: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(tile, tile),
     )
     with _maybe_interpret():
         call = pl.pallas_call(
-            _kernel_pair,
+            functools.partial(_kernel_pair, block=block),
             out_shape=(
                 jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),
                 jax.ShapeDtypeStruct((num_nodes, L), jnp.float32),

@@ -109,7 +109,14 @@ def main() -> None:
         gt = batch.local_stress
         return batch_loss(batch, pred, gt, 10.0, True)[0]
 
-    f = scan_self(lambda c, p: c + fwdloss(p), KK)
+    # the carry must perturb the params or XLA hoists the whole
+    # loss computation out of the scan as loop-invariant (the same
+    # DCE/LICM ghost block_sweep.py documents)
+    def fwd_body(c, p):
+        pc = jax.tree.map(lambda w: w + 1e-12 * c, p)
+        return c + 1e-6 * fwdloss(pc)
+
+    f = scan_self(fwd_body, KK)
     put("fwdloss_ms", timed(f, jnp.zeros(()), params))
 
     # MP=0 fixed cost
@@ -124,6 +131,7 @@ def main() -> None:
     p0, o0 = trainer0.init(jax.random.PRNGKey(0), batch)
 
     def step0(c, p, o):
+        p = jax.tree.map(lambda w: w + 1e-12 * c, p)  # defeat LICM
         p, o, aux = trainer0._train_step_impl(p, o, batch)
         return c + aux["total"]
 
