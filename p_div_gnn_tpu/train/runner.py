@@ -104,6 +104,25 @@ def run_experience(
             "using 'xla' on CPU"
         )
         scatter_impl = "xla"
+    if (
+        scatter_impl in ("fused", "fused2", "fused3")
+        and stream_dtype == "float32"
+        and jax.default_backend() != "cpu"
+    ):
+        from p_div_gnn_tpu.graphs.batching import EDGE_BLOCK
+
+        if EDGE_BLOCK > 512:
+            # the fp32 fused backward kernels' scoped VMEM (inputs +
+            # 3-pass-split temporaries) exceeds the 16 MB limit above
+            # 512-row blocks; fail NOW with the fix instead of after the
+            # dataset load + a long compile (ROOFLINE.md round-5 note)
+            raise RuntimeError(
+                f"scatter_impl={scatter_impl!r} with float32 streams "
+                f"needs EDGE_BLOCK<=512 on TPU (current {EDGE_BLOCK}); "
+                "set PDG_EDGE_BLOCK=512 before launching, or use "
+                "stream_dtype: bfloat16 (the evidence-cleared "
+                "production dtype)"
+            )
     pair_blocks = scatter_impl == "fused2"
     # the sender-major view feeds the fused/hybrid sender-gather VJP and
     # the fused2 kernel's in-kernel sender gathers; only the xla/pallas
