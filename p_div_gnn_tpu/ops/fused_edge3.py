@@ -91,35 +91,45 @@ def _mms(dt):
     return mk_onehot, mm_gather, mm_scatter, mm
 
 
-def _step3_kernel(block_tile_ref, x_ref, g_ref, e_ref, rcv_ref, gid_ref,
-                  wu_ref, wv_ref, we_ref, w2_ref, b01_ref,
-                  z_upd_ref, r_ref, m_ref, *, n_graphs: int):
+def _step3_kernel(block_tile_ref, x_ref, g_ref, e_ref, code_ref,
+                  wb_ref, z_upd_ref, r_ref, m_ref, *, L: int):
+    # Operands are PACKED to minimize per-grid-step buffer bookkeeping
+    # (round-5 experiment): code = rcv | (pad_bit << 30) in one (EB, 1)
+    # stream; wb = [Wu; Wv; We; W2; b0; b2; zero-pad] in one (4L+8, L)
+    # block.
     dt = g_ref.dtype
     b = pl.program_id(0)
     tile = block_tile_ref[b]
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
     tile_first = jnp.logical_or(b == 0, tile != prev)
 
-    rcv_local = rcv_ref[:, :] - tile * NODE_TILE
+    code = code_ref[:, :]
+    rcv_local = (code & ((1 << 30) - 1)) - tile * NODE_TILE
+    pad = (code >> 30).astype(jnp.float32)
+    mask = 1.0 - pad
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
     mk_onehot, mm_gather, mm_scatter, mm = _mms(dt)
     onehot = mk_onehot(col_ids == rcv_local)
 
+    wu = wb_ref[0:L, :]
+    wv = wb_ref[L : 2 * L, :]
+    we = wb_ref[2 * L : 3 * L, :]
+    w2_ref = wb_ref[3 * L : 4 * L, :]
+
     x_rows = mm_gather(onehot, x_ref[:, :])  # (EB, L) fp32
-    xu = mm(x_rows, wu_ref[:, :], ((1,), (0,)))
-    xv = mm(x_rows, wv_ref[:, :], ((1,), (0,)))
-    gu = mm(g_ref[:, :], wu_ref[:, :], ((1,), (0,)))
-    gv = mm(g_ref[:, :], wv_ref[:, :], ((1,), (0,)))
+    xu = mm(x_rows, wu, ((1,), (0,)))
+    xv = mm(x_rows, wv, ((1,), (0,)))
+    gu = mm(g_ref[:, :], wu, ((1,), (0,)))
+    gv = mm(g_ref[:, :], wv, ((1,), (0,)))
     base = (
-        mm(e_ref[:, :], we_ref[:, :], ((1,), (0,)))
-        + b01_ref[0, :].astype(jnp.float32)
+        mm(e_ref[:, :], we, ((1,), (0,)))
+        + wb_ref[4 * L, :].astype(jnp.float32)
     )
-    b2 = b01_ref[1, :].astype(jnp.float32)
+    b2 = wb_ref[4 * L + 1, :].astype(jnp.float32)
 
     def tail(pre):
         h = jnp.maximum(pre, 0.0)
-        y = mm(h, w2_ref[:, :], ((1,), (0,))) + b2
+        y = mm(h, w2_ref, ((1,), (0,))) + b2
         return jnp.maximum(y, 0.0) * mask
 
     # message: edge_net([x_target, x_source, e]) → u-slot at receiver,
@@ -166,10 +176,24 @@ def _step3_specs(L):
                         memory_space=pltpu.VMEM)
     idx = pl.BlockSpec((EDGE_BLOCK, 1), lambda b, bt: (b, 0),
                        memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((L, L), lambda b, bt: (0, 0), memory_space=pltpu.VMEM)
-    vec2 = pl.BlockSpec((2, L), lambda b, bt: (0, 0),
+    wmat = pl.BlockSpec((4 * L + 8, L), lambda b, bt: (0, 0),
                         memory_space=pltpu.VMEM)
-    return tile, edge, idx, mat, vec2
+    return tile, edge, idx, wmat
+
+
+def _pack_operands(receivers, edge_gid, n_graphs, w_u, w_v, w_e, b0, w2,
+                   b2, sd):
+    """code = rcv | (pad << 30) one stream; wb = stacked weights+biases
+    one (4L+8, L) block (zero rows pad to a sublane multiple)."""
+    Ep = receivers.shape[0]
+    L = w2.shape[0]
+    pad = (edge_gid.astype(jnp.int32) >= n_graphs).astype(jnp.int32)
+    code = (receivers.astype(jnp.int32) | (pad << 30)).reshape(Ep, 1)
+    wb = jnp.concatenate(
+        [w_u, w_v, w_e, w2, b0.reshape(1, L), b2.reshape(1, L),
+         jnp.zeros((6, L), w2.dtype)], axis=0
+    ).astype(sd)
+    return code, wb
 
 
 def _step3_forward(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers, aux,
@@ -179,14 +203,13 @@ def _step3_forward(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers, aux,
     Np = x.shape[0]
     assert Ep % EDGE_BLOCK == 0 and Np % NODE_TILE == 0
     n_blocks = Ep // EDGE_BLOCK
-    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
-    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
-    b01 = jnp.stack([b0, b2], axis=0)
-    tile, edge, idx, mat, vec2 = _step3_specs(L)
+    code, wb = _pack_operands(receivers, edge_gid, n_graphs, w_u, w_v,
+                              w_e, b0, w2, b2, g_x.dtype)
+    tile, edge, idx, wmat = _step3_specs(L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[tile, edge, edge, idx, idx, mat, mat, mat, mat, vec2],
+        in_specs=[tile, edge, edge, idx, wmat],
         out_specs=(
             edge,
             tile,
@@ -196,7 +219,7 @@ def _step3_forward(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers, aux,
     )
     with _maybe_interpret():
         call = pl.pallas_call(
-            functools.partial(_step3_kernel, n_graphs=n_graphs),
+            functools.partial(_step3_kernel, L=L),
             out_shape=(
                 jax.ShapeDtypeStruct((Ep, L), g_x.dtype),  # z_upd
                 jax.ShapeDtypeStruct((Np, L), jnp.float32),  # R
@@ -213,16 +236,12 @@ def _step3_forward(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers, aux,
                 transcendentals=0,
             ),
         )
-        return call(
-            block_tile.astype(jnp.int32), x, g_x, e, rcv2d, gid2d,
-            w_u, w_v, w_e, w2, b01,
-        )
+        return call(block_tile.astype(jnp.int32), x, g_x, e, code, wb)
 
 
 def _step3_bwd_kernel(block_tile_ref, x_ref, g_ref, e_ref, z_upd_ref,
-                      dz_upd_ref, dr_ref, dm_ref, rcv_ref, gid_ref,
-                      wu_ref, wv_ref, we_ref, w2_ref, b01_ref,
-                      dg_ref, de_ref, dx_ref, dwb_ref, *, n_graphs: int):
+                      dz_upd_ref, dr_ref, dm_ref, code_ref, wb_ref,
+                      dg_ref, de_ref, dx_ref, dwb_ref, *, L: int):
     """One-pass backward. Recomputes both pre-activations from the raw
     streams, gathers the scatter/moment cotangents, and emits:
     - dg (edge stream, stream dtype): the ONE sender cotangent
@@ -240,27 +259,33 @@ def _step3_bwd_kernel(block_tile_ref, x_ref, g_ref, e_ref, z_upd_ref,
     prev = block_tile_ref[jnp.maximum(b - 1, 0)]
     tile_first = jnp.logical_or(b == 0, tile != prev)
 
-    rcv_local = rcv_ref[:, :] - tile * NODE_TILE
+    code = code_ref[:, :]
+    rcv_local = (code & ((1 << 30) - 1)) - tile * NODE_TILE
+    mask = 1.0 - (code >> 30).astype(jnp.float32)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (EDGE_BLOCK, NODE_TILE), 1)
-    mask = (gid_ref[:, :] < n_graphs).astype(jnp.float32)
     mk_onehot, mm_gather, mm_scatter, mm = _mms(dt)
     onehot = mk_onehot(col_ids == rcv_local)
+
+    wu = wb_ref[0:L, :]
+    wv = wb_ref[L : 2 * L, :]
+    we = wb_ref[2 * L : 3 * L, :]
+    w2 = wb_ref[3 * L : 4 * L, :]
 
     # --- recompute the forward in-VMEM (the fwd masked z_msg, so it is
     # re-masked before the relu gate or padding edges would leak grad)
     x_rows = mm_gather(onehot, x_ref[:, :])
-    xu = mm(x_rows, wu_ref[:, :], ((1,), (0,)))
-    xv = mm(x_rows, wv_ref[:, :], ((1,), (0,)))
-    gu = mm(g_ref[:, :], wu_ref[:, :], ((1,), (0,)))
-    gv = mm(g_ref[:, :], wv_ref[:, :], ((1,), (0,)))
+    xu = mm(x_rows, wu, ((1,), (0,)))
+    xv = mm(x_rows, wv, ((1,), (0,)))
+    gu = mm(g_ref[:, :], wu, ((1,), (0,)))
+    gv = mm(g_ref[:, :], wv, ((1,), (0,)))
     base = (
-        mm(e_ref[:, :], we_ref[:, :], ((1,), (0,)))
-        + b01_ref[0, :].astype(jnp.float32)
+        mm(e_ref[:, :], we, ((1,), (0,)))
+        + wb_ref[4 * L, :].astype(jnp.float32)
     )
-    b2 = b01_ref[1, :].astype(jnp.float32)
+    b2 = wb_ref[4 * L + 1, :].astype(jnp.float32)
 
     h1 = jnp.maximum(xu + gv + base, 0.0)
-    z_msg = jnp.maximum(mm(h1, w2_ref[:, :], ((1,), (0,))) + b2, 0.0) * mask
+    z_msg = jnp.maximum(mm(h1, w2, ((1,), (0,))) + b2, 0.0) * mask
     h2 = jnp.maximum(xv + gu + base, 0.0)
     z_upd = z_upd_ref[:, :].astype(jnp.float32)
 
@@ -268,7 +293,7 @@ def _step3_bwd_kernel(block_tile_ref, x_ref, g_ref, e_ref, z_upd_ref,
     g_r = mm_gather(onehot, dr_ref[:, :])
     dz_msg = g_r + dm_ref[0:1, :] + 2.0 * dm_ref[1:2, :] * z_msg
     dy1 = dz_msg * (z_msg > 0)
-    dh1 = mm(dy1, w2_ref[:, :], ((1,), (1,)))
+    dh1 = mm(dy1, w2, ((1,), (1,)))
     dpre1 = dh1 * (h1 > 0)
 
     # --- edge-update path (z_upd streamed from fwd)
@@ -277,19 +302,19 @@ def _step3_bwd_kernel(block_tile_ref, x_ref, g_ref, e_ref, z_upd_ref,
         + dm_ref[2:3, :] + 2.0 * dm_ref[3:4, :] * z_upd
     )
     dy2 = dz_upd * (z_upd > 0)
-    dh2 = mm(dy2, w2_ref[:, :], ((1,), (1,)))
+    dh2 = mm(dy2, w2, ((1,), (1,)))
     dpre2 = dh2 * (h2 > 0)
 
     dpre_sum = dpre1 + dpre2
     dg_ref[:, :] = (
-        mm(dpre1, wv_ref[:, :], ((1,), (1,)))
-        + mm(dpre2, wu_ref[:, :], ((1,), (1,)))
+        mm(dpre1, wv, ((1,), (1,)))
+        + mm(dpre2, wu, ((1,), (1,)))
     ).astype(dt)
-    de_ref[:, :] = mm(dpre_sum, we_ref[:, :], ((1,), (1,))).astype(dt)
+    de_ref[:, :] = mm(dpre_sum, we, ((1,), (1,))).astype(dt)
 
     dx_rows = (
-        mm(dpre1, wu_ref[:, :], ((1,), (1,)))
-        + mm(dpre2, wv_ref[:, :], ((1,), (1,)))
+        mm(dpre1, wu, ((1,), (1,)))
+        + mm(dpre2, wv, ((1,), (1,)))
     )
     dx = mm_scatter(onehot, dx_rows)
 
@@ -305,6 +330,8 @@ def _step3_bwd_kernel(block_tile_ref, x_ref, g_ref, e_ref, z_upd_ref,
     db2 = jnp.sum(dy1 + dy2, axis=0, keepdims=True)
     db0 = jnp.sum(dpre_sum, axis=0, keepdims=True)
     dwe = mm(e_ref[:, :], dpre_sum, ((0,), (0,)))
+    # x_rows in fp32 mode is an fp32 gather result; cast through the
+    # stream dtype for the weight-grad contraction like the other mms
     dwu = mm(x_rows, dpre1, ((0,), (0,))) + mm(g_ref[:, :], dpre2,
                                                ((0,), (0,)))
     dwv = mm(x_rows, dpre2, ((0,), (0,))) + mm(g_ref[:, :], dpre1,
@@ -326,10 +353,9 @@ def _step3_backward_pallas(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers,
     Ep, L = g_x.shape
     Np = x.shape[0]
     n_blocks = Ep // EDGE_BLOCK
-    rcv2d = receivers.astype(jnp.int32).reshape(Ep, 1)
-    gid2d = edge_gid.astype(jnp.int32).reshape(Ep, 1)
-    b01 = jnp.stack([b0, b2], axis=0)
-    tile, edge, idx, mat, vec2 = _step3_specs(L)
+    code, wb = _pack_operands(receivers, edge_gid, n_graphs, w_u, w_v,
+                              w_e, b0, w2, b2, g_x.dtype)
+    tile, edge, idx, wmat = _step3_specs(L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -337,7 +363,7 @@ def _step3_backward_pallas(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers,
             tile, edge, edge, edge, edge, tile,
             pl.BlockSpec((8, L), lambda b, bt: (0, 0),
                          memory_space=pltpu.VMEM),
-            idx, idx, mat, mat, mat, mat, vec2,
+            idx, wmat,
         ],
         out_specs=(
             edge,
@@ -349,7 +375,7 @@ def _step3_backward_pallas(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers,
     )
     with _maybe_interpret():
         call = pl.pallas_call(
-            functools.partial(_step3_bwd_kernel, n_graphs=n_graphs),
+            functools.partial(_step3_bwd_kernel, L=L),
             out_shape=(
                 jax.ShapeDtypeStruct((Ep, L), g_x.dtype),  # dg
                 jax.ShapeDtypeStruct((Ep, L), g_x.dtype),  # de
@@ -363,7 +389,7 @@ def _step3_backward_pallas(x, g_x, e, w_u, w_v, w_e, b0, w2, b2, receivers,
         )
         return call(
             block_tile.astype(jnp.int32), x, g_x, e, z_upd, dz_upd, dr, dm,
-            rcv2d, gid2d, w_u, w_v, w_e, w2, b01,
+            code, wb,
         )
 
 
