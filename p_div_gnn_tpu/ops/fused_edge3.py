@@ -188,6 +188,9 @@ def _pack_operands(receivers, edge_gid, n_graphs, w_u, w_v, w_e, b0, w2,
     Ep = receivers.shape[0]
     L = w2.shape[0]
     pad = (edge_gid.astype(jnp.int32) >= n_graphs).astype(jnp.int32)
+    # receivers are node ids < Np; the pad flag lives in bit 30, so the
+    # packing is exact for any graph below 2^30 ≈ 1.07e9 nodes (static
+    # check — receivers is bounded by the batch's node capacity)
     code = (receivers.astype(jnp.int32) | (pad << 30)).reshape(Ep, 1)
     wb = jnp.concatenate(
         [w_u, w_v, w_e, w2, b0.reshape(1, L), b2.reshape(1, L),
