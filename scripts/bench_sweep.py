@@ -27,7 +27,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/evidence/kernel_sweep.json")
     p.add_argument("--impls", nargs="+",
-                   default=["hybrid", "fused", "fused2", "xla"])
+                   default=["fused3", "hybrid", "fused", "fused2", "xla"])
     p.add_argument("--blocks", nargs="+", type=int, default=[128, 512])
     p.add_argument("--dtypes", nargs="+", default=["float32"])
     args = p.parse_args()
