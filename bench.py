@@ -45,12 +45,13 @@ SCAN_STEPS = 10
 
 
 def _impls() -> list[str]:
-    """Baseline + production path(s). Entries are ``impl`` or
-    ``impl:stream_dtype``. bf16 streams join the production set ONLY
-    once the multi-seed paired A/B (docs/evidence/ab_bf16_seeds.json)
-    exists and clears the pre-registered <5% accuracy bar with >=2
-    complete pairs — the bench never headlines a dtype the accuracy
-    evidence hasn't cleared."""
+    """Baseline + THE production case. Entries are ``impl`` or
+    ``impl:stream_dtype``. bf16 streams REPLACE fp32 as the production
+    case ONLY once the multi-seed paired A/B
+    (docs/evidence/ab_bf16_seeds.json) exists and clears the <5%
+    accuracy bar with >=2 complete pairs — the bench never headlines a
+    dtype the accuracy evidence hasn't cleared (PROTOCOL.md §Metric;
+    ab_bf16_fused3.json extends the evidence to the fused3 kernels)."""
     env = os.environ.get("PDG_BENCH_IMPLS")
     if env:
         return env.split(",")
