@@ -236,12 +236,17 @@ def main() -> None:
     # did NOT clear (fp32 fused3 is about to be timed), drop to the
     # largest fp32-safe block BEFORE the package binds the constants.
     if (
-        any(i in IMPLS for i in ("fused3", "fused"))
+        any(i in IMPLS for i in ("fused3", "fused", "fused2"))
         and "PDG_EDGE_BLOCK" not in os.environ
     ):
+        # NB: the drop is process-wide — a hand-picked PDG_BENCH_IMPLS
+        # mixing fp32 and bf16 fused cases times BOTH at 512 (correctness
+        # over the bf16 case's ~5% layout edge); the default production
+        # set never mixes dtypes.
         os.environ["PDG_EDGE_BLOCK"] = "512"
         log("bench: fp32 fused case in the set -> EDGE_BLOCK=512 "
-            "(fp32 backward VMEM exceeds the scoped limit at 768)")
+            "(fp32 backward VMEM exceeds the scoped limit at 768; "
+            "applies to every impl in this process)")
 
     import jax
 

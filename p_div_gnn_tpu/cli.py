@@ -33,6 +33,26 @@ def train_main(argv: list[str] | None = None) -> None:
         "config's resume key; used by scripts/train_watchdog.sh restarts)",
     )
     args = p.parse_args(argv)
+    # Layout auto-guard: the fp32 fused kernels' backward exceeds the
+    # 16 MB scoped-VMEM limit above 512-row edge blocks, but the default
+    # layout is 768×256 (bf16 optimum). The layout constants bind when
+    # the package first imports, so the decision must happen HERE, from
+    # the config, before the runner import — otherwise every fp32 fused
+    # config would hit the runner's fail-fast guard (round-5 review).
+    import yaml
+
+    with open(args.config_path) as fh:
+        cfg = yaml.safe_load(fh) or {}
+    if (
+        cfg.get("scatter_impl") in ("fused", "fused2", "fused3")
+        and cfg.get("stream_dtype", "float32") == "float32"
+        and "PDG_EDGE_BLOCK" not in os.environ
+    ):
+        os.environ["PDG_EDGE_BLOCK"] = "512"
+        print(
+            "pdg-train: fp32 fused config -> EDGE_BLOCK=512 (the largest "
+            "fp32-safe block; export PDG_EDGE_BLOCK to override)"
+        )
     from p_div_gnn_tpu.train.runner import main
 
     main(args.config_path, resume_override=True if args.resume else None)

@@ -40,8 +40,10 @@ Array = Any  # np.ndarray on host, jnp.ndarray on device
 # one-hot): larger blocks cut per-grid-step fixed cost; RCM keeps the
 # tile-run round-up waste small. CAVEAT: the LEGACY v2 "fused" impl's
 # fp32 backward kernel exceeds the 16 MB VMEM limit at 768-row blocks —
-# run scatter_impl="fused" fp32 with PDG_EDGE_BLOCK=512 (the production
-# fused3 kernels fit at 768 in both dtypes; verified on-chip).
+# EVERY fp32 fused backward (v2 AND fused3 — the 3-pass-split
+# temporaries dominate the scoped allocation) needs PDG_EDGE_BLOCK<=512;
+# bf16 fits at 768 (verified on-chip). bench.py, pdg-train and the
+# measurement scripts drop the block automatically for fp32 fused cases.
 # Env-tunable for experiments; layouts and kernels share these constants.
 EDGE_BLOCK = int(os.environ.get("PDG_EDGE_BLOCK", "768"))
 # Node tile size for the block-aligned CSR layout and the one-hot MXU

@@ -28,6 +28,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# the fp32 leg of every pair needs the fp32-safe block size; must be set
+# before the package binds the layout constants (round-5 review finding)
+os.environ.setdefault("PDG_EDGE_BLOCK", "512")
+
 
 
 

@@ -22,6 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# float32 mode needs the fp32-safe block; decide before the package binds
+# the layout constants (bench.py/runner.py carry the same guard)
+if (len(sys.argv) > 1 and sys.argv[1] == "float32"):
+    os.environ.setdefault("PDG_EDGE_BLOCK", "512")
+
 from p_div_gnn_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
@@ -120,8 +125,6 @@ def main() -> None:
     put("fwdloss_ms", timed(f, jnp.zeros(()), params))
 
     # MP=0 fixed cost
-    scanned0, p0, o0 = make_scanned_train_step("fused3", batch,
-                                               stream_dtype=stream_dtype)
     model0 = EncodeProcessDecode(
         latent_size=128, message_passing_steps=0, scatter_impl="fused3",
         stream_dtype=stream_dtype, remat_steps=False,

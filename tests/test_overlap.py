@@ -22,6 +22,13 @@ from p_div_gnn_tpu.utils.hloscan import analyze_collective_overlap
 from test_model import STATS, _mesh_sample
 
 
+# SCOPE (round-5 review): this structural-overlap property belongs to
+# the PROJECTED-stream halo paths (xla/pallas/hybrid/fused), whose local
+# N×L×L slot projections have no data dependence on the ghost exchange.
+# The fused3 production path makes a DIFFERENT trade: the exchange feeds
+# the raw-x gather directly (no overlappable local matmuls), in return
+# for 2× fewer wire bytes in bf16 and zero ghost-projection compute —
+# documented in docs/ARCHITECTURE.md and asserted separately below.
 def test_halo_all_to_all_is_independent_of_local_projections():
     from p_div_gnn_tpu.parallel.partition import (
         device_put_partitioned,
@@ -47,3 +54,38 @@ def test_halo_all_to_all_is_independent_of_local_projections():
     assert len(report["independent_dots"]) >= 2, report
     # sanity: the ghost-consuming side DOES depend on the collective
     assert any(d["class"] == "descendant" for d in report["dots"]), report
+
+
+def test_fused3_halo_exchange_rides_in_stream_dtype():
+    """The fused3 halo trade: no overlappable projections (the exchange
+    feeds the gather), but the collective moves HALF the bytes in bf16
+    mode — assert from the compiled HLO that the all-to-all operand is
+    bf16 when stream_dtype='bfloat16'."""
+    import re
+
+    from p_div_gnn_tpu.parallel.partition import (
+        device_put_partitioned,
+        make_partitioned_forward,
+        partition_batch,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    batch = pack_batch([_mesh_sample(9, nx=5)], n_graphs=1)
+    model = EncodeProcessDecode(
+        latent_size=16, message_passing_steps=2, scatter_impl="fused3",
+        stream_dtype="bfloat16", remat_steps=False,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, STATS)
+    stacked, send_idx = partition_batch(batch, n_shards=4)
+    stacked, send_idx = device_put_partitioned(stacked, send_idx, mesh)
+    fwd = make_partitioned_forward(model, STATS, mesh, scale_output=True)
+    # assert on the LOWERED (pre-optimization) module: the program issues
+    # the exchange on bf16 operands. (The host-platform backend then
+    # PROMOTES small collectives to f32 during optimization — a backend
+    # scheduling choice this test must not depend on; on TPU the wire
+    # format follows the operand dtype.)
+    txt = jax.jit(fwd).lower(params, stacked, send_idx).as_text()
+    a2a_lines = [ln for ln in txt.splitlines() if "all_to_all" in ln]
+    assert a2a_lines, "no all_to_all in the fused3 partitioned program"
+    assert any(re.search(r"all_to_all.*tensor<[0-9x]*xbf16", ln)
+               for ln in a2a_lines), a2a_lines[0][:200]
