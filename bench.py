@@ -47,11 +47,12 @@ SCAN_STEPS = 10
 def _impls() -> list[str]:
     """Baseline + THE production case. Entries are ``impl`` or
     ``impl:stream_dtype``. bf16 streams REPLACE fp32 as the production
-    case ONLY once the multi-seed paired A/B
-    (docs/evidence/ab_bf16_seeds.json) exists and clears the <5%
-    accuracy bar with >=2 complete pairs — the bench never headlines a
-    dtype the accuracy evidence hasn't cleared (PROTOCOL.md §Metric;
-    ab_bf16_fused3.json extends the evidence to the fused3 kernels)."""
+    case ONLY once the multi-seed paired A/B for the PRODUCTION kernel
+    generation (docs/evidence/ab_bf16_fused3.json — seed gaps -0.49% /
+    +0.03%, mean -0.23%) exists and clears the <5% accuracy bar with
+    >=2 complete pairs — the bench never headlines a dtype the accuracy
+    evidence hasn't cleared (PROTOCOL.md §Metric; ab_bf16_seeds.json is
+    the v2-kernel 3-seed evidence the bar was first cleared on)."""
     env = os.environ.get("PDG_BENCH_IMPLS")
     if env:
         return env.split(",")
@@ -68,7 +69,7 @@ def _impls() -> list[str]:
     # tests.
     gate = os.environ.get("PDG_BF16_AB_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "docs/evidence/ab_bf16_seeds.json",
+        "docs/evidence/ab_bf16_fused3.json",
     )
     try:
         ab = json.load(open(gate))
