@@ -58,7 +58,8 @@ def test_fused_gradients_match_xla(impl):
 
 
 @pytest.mark.slow
-def test_fused_dp_grads_match_xla_dp():
+@pytest.mark.parametrize("fused_impl", ["fused", "fused3"])
+def test_fused_dp_grads_match_xla_dp(fused_impl):
     """Fused path under data-parallel sharding: the psum'd lazy-LN moments
     must reproduce the XLA path's whole-batch graph-LN statistics."""
     import optax
@@ -82,7 +83,7 @@ def test_fused_dp_grads_match_xla_dp():
     )
 
     outs = {}
-    for impl in ("xla", "fused"):
+    for impl in ("xla", fused_impl):
         model = EncodeProcessDecode(
             latent_size=16, message_passing_steps=2, scatter_impl=impl,
             remat_steps=False,
@@ -97,9 +98,10 @@ def test_fused_dp_grads_match_xla_dp():
             new_params, _, aux = step(params, opt_state, sharded)
         outs[impl] = (new_params, float(aux["total"]))
 
-    np.testing.assert_allclose(outs["fused"][1], outs["xla"][1], rtol=2e-4)
+    np.testing.assert_allclose(outs[fused_impl][1], outs["xla"][1],
+                               rtol=2e-4)
     for a, b in zip(
-        jax.tree.leaves(outs["fused"][0]), jax.tree.leaves(outs["xla"][0])
+        jax.tree.leaves(outs[fused_impl][0]), jax.tree.leaves(outs["xla"][0])
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5
