@@ -48,8 +48,8 @@ def _impls() -> list[str]:
     """Baseline + THE production case. Entries are ``impl`` or
     ``impl:stream_dtype``. bf16 streams REPLACE fp32 as the production
     case ONLY once the multi-seed paired A/B for the PRODUCTION kernel
-    generation (docs/evidence/ab_bf16_fused3.json — seed gaps -0.49% /
-    +0.03%, mean -0.23%) exists and clears the <5% accuracy bar with
+    generation (docs/evidence/ab_bf16_fused3.json — 3 seeds, gaps
+    -0.49% / +0.03% / -0.36%, mean -0.27%) exists and clears the bar with
     >=2 complete pairs — the bench never headlines a dtype the accuracy
     evidence hasn't cleared (PROTOCOL.md §Metric; ab_bf16_seeds.json is
     the v2-kernel 3-seed evidence the bar was first cleared on)."""
